@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Command-line entry point — the Spark analog of the reference's
+  * `./nvtc-variant -f graph.bin` (`/root/reference/nvtc/main.cpp:25-50`):
+  * derive the edge table from a testdata dir and run one kernel.
+  *
+  * Usage: `graft.Cli <kernel> <sfDir> [maxIter]`
+  * kernels: triangles | triangles-adj | pervertex | pagerank | components | lpa | degrees
+  */
+object Cli {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: graft.Cli <triangles|triangles-adj|pervertex|pagerank|components|lpa|degrees> <sfDir> [maxIter]")
+      sys.exit(2)
+    }
+    val kernel = args(0)
+    val known = Set("triangles", "triangles-adj", "pervertex", "pagerank", "components", "lpa", "degrees")
+    if (!known(kernel)) {
+      System.err.println(s"unknown kernel: $kernel (expected one of ${known.toSeq.sorted.mkString(", ")})")
+      sys.exit(2)
+    }
+    val sfDir = args(1)
+    val maxIter = if (args.length > 2) args(2).toInt else 20
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-$kernel")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    val canonical = GraphCore.clean(Ingest.edgesFromEvents(spark, sfDir)).localCheckpoint(true)
+    val edgeCount = canonical.count()
+    val out = kernel match {
+      case "triangles" =>
+        TriangleCount.globalRelational(
+          GraphCore.orient(canonical, GraphCore.degrees(canonical)))
+      case "triangles-adj" =>
+        val oriented = GraphCore.orient(canonical, GraphCore.degrees(canonical))
+        TriangleCount.globalAdjacency(spark, oriented, GraphCore.adjacency(oriented))
+      case "pervertex" =>
+        TriangleCount.perVertex(canonical,
+          GraphCore.orient(canonical, GraphCore.degrees(canonical)))
+      case "pagerank" => PageRank.run(canonical, maxIter)
+      case "components" => Components.run(canonical)
+      case "lpa" => LabelProp.run(canonical, maxIter)
+      case "degrees" => GraphCore.degrees(canonical)
+      case other =>
+        System.err.println(s"unknown kernel: $other"); sys.exit(2); null
+    }
+    val rows = out.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    out.show(10, truncate = false)
+    println(f"""{"kernel":"$kernel","sf_dir":"$sfDir","edges":$edgeCount,"rows":$rows,"sec":$sec%.3f,"edges_per_sec":${edgeCount / sec}%.1f}""")
+    spark.stop()
+  }
+}

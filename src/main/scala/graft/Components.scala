@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components. Labels are exact: every vertex is labeled with the minimum
+  * vertex id of its component (north_rule: exact labels).
+  *
+  * Not in the reference (triangle-count only); required by BASELINE.json north_star.
+  *
+  * The production algorithm is alternating large-star/small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC 2014): converges in
+  * O(log² n) rounds on any graph — crucially NOT O(diameter), which is what makes it
+  * hold at 100 TB where a naive min-propagation on a long-path component would need
+  * thousands of shuffles. Each round is two grouped-min aggregations + joins, all
+  * map-side combinable; the edge set only shrinks toward the final star forest.
+  *
+  * [[minPropagation]] (O(diameter) rounds) is kept as the differential-testing
+  * reference for the star algorithm.
+  */
+object Components {
+
+  /** Exact component labels via large-star/small-star. Output (v, component). */
+  def run(canonical: DataFrame, maxRounds: Int = 50): DataFrame = {
+    // Internal representation: every edge directed (src, dst) with src > dst.
+    var edges = canonical
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    var prev = checksum(edges)
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      edges = smallStar(largeStar(edges)).localCheckpoint(true)
+      val cur = checksum(edges)
+      converged = cur == prev
+      prev = cur
+      round += 1
+    }
+    val parents = edges.groupBy(col("src").as("v")).agg(min(col("dst")).as("p"))
+    GraphCore.vertices(canonical)
+      .join(parents, Seq("v"), "left")
+      .select(col("v"), coalesce(col("p"), col("v")).as("component"))
+  }
+
+  /** Large-star round: every node connects its strictly-larger neighbors to the
+    * minimum of its closed neighborhood. Preserves (src > dst) orientation. */
+  private[graft] def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val mins = sym.groupBy("src").agg(min("dst").as("mn"))
+    sym.join(mins, "src")
+      .where(col("dst") > col("src"))
+      .select(col("dst").as("src"), least(col("mn"), col("src")).as("dst"))
+      .distinct()
+  }
+
+  /** Small-star round: every node connects itself and its smaller neighbors to the
+    * minimum of its smaller neighborhood. Preserves (src > dst) orientation. */
+  private[graft] def smallStar(edges: DataFrame): DataFrame = {
+    val withMin = edges.join(edges.groupBy("src").agg(min("dst").as("mn")), "src")
+    val nbrs = withMin
+      .where(col("dst") =!= col("mn"))
+      .select(col("dst").as("src"), col("mn").as("dst"))
+    val self = withMin.select(col("src"), col("mn").as("dst"))
+    nbrs.unionAll(self).where(col("src") =!= col("dst")).distinct()
+  }
+
+  /** Order-insensitive 64-bit fingerprint of an edge set (count, xor of row hashes).
+    * Used as the fixpoint test — an exact set compare would be an extra join per
+    * round for no practical gain at 64-bit collision odds. */
+  private def checksum(edges: DataFrame): (Long, Long) = {
+    val r = edges.agg(
+      count(lit(1)).as("c"),
+      coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L)).as("h")).first()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Naive min-label propagation (O(diameter) rounds). Exact; test oracle for
+    * [[run]]. Output (v, component). */
+  def minPropagation(canonical: DataFrame, maxRounds: Int = 1000): DataFrame = {
+    val sym = GraphCore.symmetric(canonical).localCheckpoint(true)
+    var labels = GraphCore.vertices(canonical).select(col("v"), col("v").as("component"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val nbrMin = sym
+        .join(labels.withColumnRenamed("v", "src"), "src")
+        .groupBy(col("dst").as("v"))
+        .agg(min("component").as("nc"))
+      val next = labels
+        .join(nbrMin, Seq("v"), "left")
+        .select(col("v"), least(col("component"), coalesce(col("nc"), col("component"))).as("component"),
+          col("component").as("old"))
+        .localCheckpoint(true)
+      changed = next.where(col("component") =!= col("old")).count()
+      labels = next.select("v", "component")
+      round += 1
+    }
+    labels
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Synchronous label propagation (Raghavan et al. 2007) with a fully deterministic
+  * tie-break so results are reproducible across cluster sizes: each step, a vertex
+  * adopts the most frequent label among its neighbors; ties go to the smallest label.
+  * Labels start as vertex ids. Fixed iteration count (synchronous LPA is not
+  * guaranteed to converge — oscillation on bipartite structures is expected).
+  *
+  * Not in the reference; required by BASELINE.json north_star.
+  *
+  * Scale shape: one shuffle per step for the (neighbor-label → count) aggregation and
+  * one for the per-vertex argmax window. The window partitions by vertex — no global
+  * sort — and the count aggregation is map-side combinable. Lineage truncated per
+  * step; durable checkpoints via [[Checkpoint]] when `checkpointDir` is set.
+  */
+object LabelProp {
+
+  /** Run `iters` synchronous steps. Output (v, label). */
+  def run(
+      canonical: DataFrame,
+      iters: Int,
+      checkpointDir: Option[String] = None,
+      checkpointEvery: Int = 5): DataFrame = {
+    val spark = canonical.sparkSession
+    val sym = GraphCore.symmetric(canonical)
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    val (startIter, init) = checkpointDir.flatMap(Checkpoint.resume(spark, _)) match {
+      case Some((i, snap)) => (i + 1, snap)
+      case None =>
+        (0, GraphCore.vertices(canonical).select(col("v"), col("v").as("label")))
+    }
+    var labels = init.localCheckpoint(true)
+    var iter = startIter
+    while (iter < iters) {
+      labels = step(sym, labels).localCheckpoint(true)
+      checkpointDir.foreach { dir =>
+        if ((iter + 1) % checkpointEvery == 0 || iter + 1 == iters)
+          Checkpoint.save(labels, dir, iter)
+      }
+      iter += 1
+    }
+    labels
+  }
+
+  /** One synchronous step: (v, label) → (v, label). Every vertex of `sym` has ≥1
+    * neighbor, so the output covers the same vertex set. */
+  private[graft] def step(sym: DataFrame, labels: DataFrame): DataFrame = {
+    val byCount = Window.partitionBy(col("v")).orderBy(col("n").desc, col("nlbl").asc)
+    sym
+      .join(labels.select(col("v").as("src"), col("label").as("nlbl")), "src")
+      .groupBy(col("dst").as("v"), col("nlbl"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(byCount))
+      .where(col("rn") === 1)
+      .select(col("v"), col("nlbl").as("label"))
+  }
+}

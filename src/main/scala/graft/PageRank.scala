@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** PageRank over the undirected graph (each canonical edge counted in both
+  * directions, so there are no dangling vertices: every vertex has out-degree ≥ 1).
+  *
+  * Not present in the reference (it is triangle-count only) — required by
+  * BASELINE.json north_star; semantics follow the standard published definition
+  * (Page et al. 1999): pr⁰ = 1/n, prᵏ⁺¹(v) = (1−d)/n + d·Σ_{u→v} prᵏ(u)/outdeg(u),
+  * damping d = 0.85, convergence when max |prᵏ⁺¹ − prᵏ| < tol (1e-6 per north_rule).
+  *
+  * Scale shape: the edge table is joined with out-degrees ONCE, hash-partitioned by
+  * `src`, and persisted — each iteration then shuffles only the rank table
+  * (one row per vertex) into that fixed partitioning, aggregates map-side, and takes
+  * a single `max(abs(delta))` action. Lineage is truncated every iteration with
+  * `localCheckpoint`; durable resumable snapshots go through [[Checkpoint]] every
+  * `checkpointEvery` iterations when `checkpointDir` is set.
+  */
+object PageRank {
+
+  /** Run to convergence (or `maxIter`). Output (v: long, pr: double). */
+  def run(
+      canonical: DataFrame,
+      maxIter: Int = 100,
+      tol: Double = 1e-6,
+      damping: Double = 0.85,
+      checkpointDir: Option[String] = None,
+      checkpointEvery: Int = 5): DataFrame =
+    iterate(canonical, maxIter, Some(tol), damping, checkpointDir, checkpointEvery)
+
+  /** Run exactly `iters` iterations (no convergence action) — the oracle-checkable
+    * variant. Output (v, pr). */
+  def fixedIterations(canonical: DataFrame, iters: Int, damping: Double = 0.85): DataFrame =
+    iterate(canonical, iters, None, damping, None, Int.MaxValue)
+
+  private def iterate(
+      canonical: DataFrame,
+      maxIter: Int,
+      tol: Option[Double],
+      damping: Double,
+      checkpointDir: Option[String],
+      checkpointEvery: Int): DataFrame = {
+    val spark = canonical.sparkSession
+    val sym = GraphCore.symmetric(canonical)
+    val deg = GraphCore.degrees(canonical).withColumnRenamed("v", "src")
+    // (src, dst, deg): out-edges with the sender's out-degree, partitioned once by
+    // the join key every iteration reuses.
+    val links = sym.join(deg, "src")
+      .select(col("src"), col("dst"), col("deg"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = GraphCore.vertices(canonical).persist(StorageLevel.MEMORY_AND_DISK)
+    val n = verts.count()
+    val base = (1.0 - damping) / n
+
+    val (startIter, startRanks) = checkpointDir.flatMap(Checkpoint.resume(spark, _)) match {
+      case Some((i, snap)) => (i + 1, snap)
+      case None => (0, verts.select(col("v"), lit(1.0 / n).as("pr")))
+    }
+
+    var ranks = startRanks.localCheckpoint(true)
+    var iter = startIter
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val contribs = links
+        .join(ranks.withColumnRenamed("v", "src"), "src")
+        .select(col("dst").as("v"), (col("pr") / col("deg")).as("c"))
+        .groupBy("v")
+        .agg(sum("c").as("s"))
+      val next = verts
+        .join(contribs, Seq("v"), "left")
+        .select(col("v"),
+          (lit(base) + lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))
+        .localCheckpoint(true)
+      tol.foreach { t =>
+        val delta = next
+          .join(ranks.withColumnRenamed("pr", "pr_old"), "v")
+          .agg(max(abs(col("pr") - col("pr_old"))).as("d"))
+          .first().getDouble(0)
+        converged = delta < t
+        checkpointDir.foreach { dir =>
+          if ((iter + 1) % checkpointEvery == 0 || converged)
+            Checkpoint.save(next, dir, iter, Map("max_delta" -> delta, "n" -> n.toDouble))
+        }
+      }
+      ranks = next
+      iter += 1
+    }
+    links.unpersist()
+    verts.unpersist()
+    ranks
+  }
+}

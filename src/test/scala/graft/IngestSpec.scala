@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import TestSpark.fixtures
+
+class IngestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("transcript fixture isomorphic to tri1 reproduces golden count 1 end-to-end") {
+    val edges = Ingest.edgesFromTranscripts(Transcripts.fixture(spark, fixtures.tri1).toDF())
+    assert(TriangleCount.countPairs(edges).first().getLong(0) === 1L)
+  }
+
+  test("transcript fixture isomorphic to nvgraph8 reproduces golden count 3 end-to-end") {
+    val edges = Ingest.edgesFromTranscripts(Transcripts.fixture(spark, fixtures.nvgraph8).toDF())
+    assert(TriangleCount.countPairs(edges).first().getLong(0) === 3L)
+    assert(TriangleCount.countPairsAdjacency(spark, edges).first().getLong(0) === 3L)
+  }
+
+  test("per-turn text equality under stable (conv_id, turn_idx) ordering round-trip (input_hint invariant)") {
+    val t = Transcripts.synth(spark, 50, 20)
+    val dir = java.nio.file.Files.createTempDirectory("graft-transcripts").toString
+    t.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    val a = t.orderBy("conv_id", "turn_idx").select("conv_id", "turn_idx", "text")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    val b = back.orderBy("conv_id", "turn_idx").select("conv_id", "turn_idx", "text")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    assert(a.sameElements(b))
+    Checkpoint.deleteRecursively(dir)
+  }
+
+  test("synth transcripts: schema, dense turn_idx, monotone ts within conversation, deterministic regen") {
+    val t = Transcripts.synth(spark, 20, 10)
+    assert(t.schema.map(f => (f.name, f.dataType.simpleString)) === Seq(
+      "conv_id" -> "string", "turn_idx" -> "int", "role" -> "string",
+      "text" -> "string", "tool" -> "string", "ts" -> "timestamp"))
+    val perConv = t.groupBy("conv_id")
+      .agg(count(lit(1)).as("n"), countDistinct(col("turn_idx")).as("d"),
+        (max(col("ts")) > min(col("ts"))).as("mono"))
+      .collect()
+    assert(perConv.length === 20)
+    perConv.foreach { r => assert(r.getLong(1) === 10L && r.getLong(2) === 10L && r.getBoolean(3)) }
+    // bit-identical regeneration
+    val again = Transcripts.synth(spark, 20, 10)
+    assert(t.collect().toSet === again.collect().toSet)
+  }
+
+  test("transcript edges: no self loops, canonical, participants co-occur") {
+    val edges = Ingest.edgesFromTranscripts(Transcripts.synth(spark, 30, 12).toDF())
+    val rows = edges.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("events edge derivation is deterministic and canonical on sf0.001") {
+    val e1 = Ingest.edgesFromEvents(spark, "/root/testdata/sf0.001")
+    val e2 = Ingest.edgesFromEvents(spark, "/root/testdata/sf0.001")
+    val a = e1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a.nonEmpty && a.forall(p => p._1 < p._2))
+    assert(a === e2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+}
+
+class SortedIntersectCountSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("matches array_intersect size on sorted deduped random arrays (interpreted + codegen)") {
+    val s = spark
+    import s.implicits._
+    graft.expr.SortedIntersectCount.register(spark)
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200)((
+      rnd.shuffle((0L to 100L).toVector).take(rnd.nextInt(30)).sorted.toArray,
+      rnd.shuffle((0L to 100L).toVector).take(rnd.nextInt(30)).sorted.toArray))
+    val df = rows.toDF("a", "b")
+      .select(
+        call_function("sorted_intersect_count", col("a"), col("b")).as("got"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("want"))
+    assert(df.where(col("got") =!= col("want")).count() === 0L)
+    assert(df.count() === 200L)
+  }
+
+  test("empty and null inputs") {
+    val s = spark
+    import s.implicits._
+    graft.expr.SortedIntersectCount.register(spark)
+    val df = Seq(
+      (Array.empty[Long], Array(1L, 2L)),
+      (Array(1L, 2L), Array.empty[Long])).toDF("a", "b")
+    assert(df.select(call_function("sorted_intersect_count", col("a"), col("b")))
+      .collect().map(_.getLong(0)).toSeq === Seq(0L, 0L))
+  }
+}

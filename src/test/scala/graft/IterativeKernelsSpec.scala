@@ -1,0 +1,140 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import TestSpark.{edgeDF, fixtures}
+
+class ComponentsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def labels(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.run(GraphCore.clean(edgeDF(edges)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("single component on both fixture graphs, labeled by min id") {
+    assert(labels(fixtures.tri1) === Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+    assert(labels(fixtures.nvgraph8).values.toSet === Set(0L))
+  }
+
+  test("disjoint components get distinct min-id labels") {
+    val two = fixtures.tri1 ++ Seq((10L, 11L), (11L, 12L), (20L, 21L))
+    val got = labels(two)
+    assert(got === Map(
+      0L -> 0L, 1L -> 0L, 2L -> 0L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("long path converges (O(log n) rounds, not O(diameter))") {
+    val path = (0L until 200L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val got = labels(path)
+    assert(got.size === 200 && got.values.toSet === Set(0L))
+  }
+
+  test("differential: large/small-star equals min-propagation on seeded random graphs") {
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val es = Seq.fill(150)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      val canonical = GraphCore.clean(edgeDF(es)).localCheckpoint(true)
+      val fast = Components.run(canonical).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val slow = Components.minPropagation(canonical).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(fast === slow, s"seed=$seed")
+    }
+  }
+}
+
+class PageRankSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** In-memory double-array power iteration — independent golden. */
+  private def goldenPr(edges: Seq[(Long, Long)], iters: Int, damping: Double = 0.85): Map[Long, Double] = {
+    val canon = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val vs = canon.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val idx = vs.zipWithIndex.toMap
+    val adj = Array.fill(vs.length)(List.empty[Int])
+    canon.foreach { case (u, v) =>
+      adj(idx(u)) = idx(v) :: adj(idx(u))
+      adj(idx(v)) = idx(u) :: adj(idx(v))
+    }
+    val n = vs.length
+    var pr = Array.fill(n)(1.0 / n)
+    for (_ <- 0 until iters) {
+      val next = Array.fill(n)((1.0 - damping) / n)
+      for (u <- 0 until n; v <- adj(u)) next(v) += damping * pr(u) / adj(u).size
+      pr = next
+    }
+    vs.zip(pr).toMap
+  }
+
+  test("symmetric triangle converges to uniform 1/3") {
+    val got = PageRank.run(GraphCore.clean(edgeDF(fixtures.tri1)), maxIter = 100)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.values.foreach(p => assert(math.abs(p - 1.0 / 3) < 1e-5))
+  }
+
+  test("fixed 10 iterations match independent power iteration on nvgraph8 (allclose 1e-9)") {
+    val got = PageRank.fixedIterations(GraphCore.clean(edgeDF(fixtures.nvgraph8)), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = goldenPr(fixtures.nvgraph8, 10)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (v, p) => assert(math.abs(p - want(v)) < 1e-9, s"v=$v") }
+  }
+
+  test("converged ranks sum to ~1 and are stable under extra iterations") {
+    val canonical = GraphCore.clean(edgeDF(fixtures.nvgraph8))
+    val got = PageRank.run(canonical, maxIter = 200, tol = 1e-9)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got.values.sum - 1.0) < 1e-6)
+    val more = goldenPr(fixtures.nvgraph8, 300)
+    got.foreach { case (v, p) => assert(math.abs(p - more(v)) < 1e-6, s"v=$v") }
+  }
+
+  test("checkpoint + resume mid-run reproduces the uninterrupted result") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val canonical = GraphCore.clean(edgeDF(fixtures.nvgraph8)).localCheckpoint(true)
+    // full run, checkpointing every 2 iterations
+    val full = PageRank.run(canonical, maxIter = 10, tol = 0.0,
+      checkpointDir = Some(dir), checkpointEvery = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // simulate a crash: drop the last manifests so resume starts mid-run
+    val kept = Checkpoint.latestIter(dir).get
+    (kept - 3 to kept).foreach { i =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$dir/manifest_$i.json"))
+    }
+    assert(Checkpoint.latestIter(dir).exists(_ < kept))
+    val resumed = PageRank.run(canonical, maxIter = 10, tol = 0.0,
+      checkpointDir = Some(dir), checkpointEvery = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    full.foreach { case (v, p) => assert(math.abs(p - resumed(v)) < 1e-12, s"v=$v") }
+    Checkpoint.deleteRecursively(dir)
+  }
+}
+
+class LabelPropSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("one step on tri1: deterministic min-label tie-break") {
+    val got = LabelProp.run(GraphCore.clean(edgeDF(fixtures.tri1)), 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // neighbors' labels are the two other ids; all counts tie → smallest label wins
+    assert(got === Map(0L -> 1L, 1L -> 0L, 2L -> 0L))
+  }
+
+  test("two dense cliques joined by one bridge separate into two labels") {
+    val cliqueA = for (i <- 0 to 3; j <- i + 1 to 3) yield (i.toLong, j.toLong)
+    val cliqueB = for (i <- 10 to 13; j <- i + 1 to 13) yield (i.toLong, j.toLong)
+    val es = cliqueA ++ cliqueB ++ Seq((3L, 10L))
+    val got = LabelProp.run(GraphCore.clean(edgeDF(es)), 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.filter(_._1 <= 3L).values.toSet.size === 1)
+    assert(got.filter(_._1 >= 10L).values.toSet.size === 1)
+  }
+
+  test("fixed iterations are deterministic across runs") {
+    val canonical = GraphCore.clean(edgeDF(fixtures.nvgraph8))
+    val a = LabelProp.run(canonical, 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = LabelProp.run(canonical, 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import TestSpark.{edgeDF, fixtures}
+
+class TriangleCountSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def relational(edges: Seq[(Long, Long)]): Long =
+    TriangleCount.countPairs(edgeDF(edges)).first().getLong(0)
+
+  private def adjacency(edges: Seq[(Long, Long)]): Long =
+    TriangleCount.countPairsAdjacency(spark, edgeDF(edges)).first().getLong(0)
+
+  test("tri1 fixture: 1 triangle (reference test.cpp:16,19)") {
+    assert(relational(fixtures.tri1) === 1L)
+    assert(adjacency(fixtures.tri1) === 1L)
+  }
+
+  test("nvgraph8 fixture: 3 triangles (reference test.cpp:27)") {
+    assert(relational(fixtures.nvgraph8) === 3L)
+    assert(adjacency(fixtures.nvgraph8) === 3L)
+  }
+
+  test("duplicate multi-edges dedup to 1 triangle (reference dead fixture test_zero_degree.bin)") {
+    assert(relational(fixtures.dupEdges) === 1L)
+    assert(adjacency(fixtures.dupEdges) === 1L)
+  }
+
+  test("self-loops dropped (reference TrCountingGraph.cpp:298)") {
+    assert(relational(fixtures.selfLoop) === 1L)
+    assert(adjacency(fixtures.selfLoop) === 1L)
+  }
+
+  test("count invariant under edge permutation, direction flips, and duplication") {
+    val base = fixtures.nvgraph8
+    val variants = Seq(
+      base.reverse,
+      base.map { case (u, v) => (v, u) },
+      scala.util.Random.shuffle(base) ++ base.take(3), // dups
+      base ++ base)
+    variants.foreach { es =>
+      assert(relational(es) === 3L)
+      assert(adjacency(es) === 3L)
+    }
+  }
+
+  test("per-vertex counts on nvgraph8: (0,1,2,3,2,1)") {
+    val canonical = GraphCore.clean(edgeDF(fixtures.nvgraph8))
+    val oriented = GraphCore.orient(canonical, GraphCore.degrees(canonical))
+    val got = TriangleCount.perVertex(canonical, oriented)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 2L, 5L -> 1L))
+  }
+
+  test("empty graph counts zero on both paths") {
+    val empty = Seq.empty[(Long, Long)]
+    assert(relational(empty) === 0L)
+    assert(adjacency(empty) === 0L)
+  }
+
+  test("triangle-free graph (star) counts zero") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+    assert(relational(star) === 0L)
+    assert(adjacency(star) === 0L)
+  }
+
+  test("relational and adjacency paths agree on a seeded random graph") {
+    val rnd = new scala.util.Random(42)
+    val es = Seq.fill(400)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+    assert(relational(es) === adjacency(es))
+  }
+}
+
+class GraphCoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("clean: canonical src<dst, no loops, no dups") {
+    val out = GraphCore.clean(edgeDF(fixtures.dupEdges ++ Seq((7L, 7L)))).collect()
+    assert(out.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(out.length === 3)
+  }
+
+  test("orientation: every cleaned edge appears exactly once, low-degree to high-degree, id tie-break (report.md:7)") {
+    val canonical = GraphCore.clean(edgeDF(fixtures.nvgraph8))
+    val deg = GraphCore.degrees(canonical)
+    val oriented = GraphCore.orient(canonical, deg)
+    assert(oriented.count() === canonical.count())
+    // undirected closure identical
+    val a = canonical.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = oriented.collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1)))).toSet
+    assert(a === b)
+    // rule: deg(src) < deg(dst) or (equal and src < dst)
+    val d = deg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    oriented.collect().foreach { r =>
+      val (u, v) = (r.getLong(0), r.getLong(1))
+      assert(d(u) < d(v) || (d(u) == d(v) && u < v), s"bad orientation ($u,$v)")
+    }
+  }
+
+  test("adjacency: sorted ascending, deg = |nbrs|, out-degree bounded") {
+    val oriented = GraphCore.orientClean(edgeDF(fixtures.nvgraph8))
+    GraphCore.adjacency(oriented).collect().foreach { r =>
+      val nbrs = r.getSeq[Long](2)
+      assert(nbrs == nbrs.sorted)
+      assert(r.getLong(1) === nbrs.length.toLong)
+    }
+  }
+
+  test("degrees match hand-computed values on nvgraph8") {
+    val canonical = GraphCore.clean(edgeDF(fixtures.nvgraph8))
+    val got = GraphCore.degrees(canonical).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 1L, 1L -> 3L, 2L -> 3L, 3L -> 4L, 4L -> 3L, 5L -> 2L))
+  }
+}
