@@ -1,0 +1,143 @@
+package graft
+
+/** DuckDB-dialect oracle SQL, one string per entry in [[SparkEntry.oracleSql]].
+  *
+  * Every query here is the exact relational semantics of the corresponding Spark
+  * pipeline, over the driver's parquet tables (registered in DuckDB under their bare
+  * stem names — `events`, `lineitem`, `documents`, `embeddings`, …). Column aliases
+  * MUST match the Spark side: the driver sorts columns by name before hashing.
+  *
+  * The edge table is derived from `events` as temporal co-occurrence: within each
+  * `event_type` stream ordered by (ts, event_id), each event links its user to the
+  * previous event's user; self-pairs dropped, pairs canonicalized (src < dst) and
+  * deduplicated — mirroring [[Ingest.edgesFromEvents]] + [[GraphCore.clean]].
+  */
+object OracleSql {
+
+  /** Shared CTE bodies (no WITH keyword): canonical edges `e(src, dst)`. */
+  val edgesCte: String =
+    """lagd AS (
+      |  SELECT user_id AS cur,
+      |         lag(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |e AS (
+      |  SELECT DISTINCT least(cur, prev) AS src, greatest(cur, prev) AS dst
+      |  FROM lagd WHERE prev IS NOT NULL AND prev <> cur)""".stripMargin
+
+  /** + symmetric view `ud(u, w)`, vertices `verts(v)`, degrees `deg(v, deg)`. */
+  val graphCtes: String = edgesCte +
+    """,
+      |ud AS (SELECT src AS u, dst AS w FROM e UNION ALL SELECT dst AS u, src AS w FROM e),
+      |verts AS (SELECT DISTINCT u AS v FROM ud),
+      |deg AS (SELECT u AS v, count(*) AS deg FROM ud GROUP BY u)""".stripMargin
+
+  val edges: String = s"WITH $edgesCte SELECT src, dst FROM e"
+
+  val degrees: String = s"WITH $graphCtes SELECT v, deg FROM deg"
+
+  /** Degree-ordered orientation (low→high, id tie-break) — report.md:7 rule. */
+  val orientedCte: String = graphCtes +
+    """,
+      |oriented AS (
+      |  SELECT CASE WHEN ds.deg < dd.deg OR (ds.deg = dd.deg AND e.src < e.dst)
+      |              THEN e.src ELSE e.dst END AS src,
+      |         CASE WHEN ds.deg < dd.deg OR (ds.deg = dd.deg AND e.src < e.dst)
+      |              THEN e.dst ELSE e.src END AS dst
+      |  FROM e
+      |  JOIN deg ds ON ds.v = e.src
+      |  JOIN deg dd ON dd.v = e.dst)""".stripMargin
+
+  val oriented: String = s"WITH $orientedCte SELECT src, dst FROM oriented"
+
+  val adjacencyCsv: String =
+    s"""WITH $orientedCte
+       |SELECT src AS v, count(*) AS deg,
+       |       string_agg(CAST(dst AS VARCHAR), ',' ORDER BY dst) AS nbrs_csv
+       |FROM oriented GROUP BY src""".stripMargin
+
+  /** Global triangle count. The oracle uses the id-ordered (src < dst) 3-way join —
+    * provably the same total as the degree-oriented plan (each triangle counted once
+    * under any acyclic orientation). */
+  val trianglesGlobal: String =
+    s"""WITH $edgesCte
+       |SELECT count(*) AS triangles
+       |FROM e e1
+       |JOIN e e2 ON e2.src = e1.dst
+       |JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst""".stripMargin
+
+  val trianglesPerVertex: String =
+    s"""WITH $graphCtes,
+       |tri AS (
+       |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+       |  FROM e e1
+       |  JOIN e e2 ON e2.src = e1.dst
+       |  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+       |corners AS (
+       |  SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+       |cnt AS (SELECT v, count(*) AS n FROM corners GROUP BY v)
+       |SELECT verts.v AS v, coalesce(cnt.n, 0) AS tri_cnt
+       |FROM verts LEFT JOIN cnt ON cnt.v = verts.v""".stripMargin
+
+  /** Exact min-id component labels via transitive closure (fine at oracle scale;
+    * the engine itself uses O(log n)-round large/small-star instead). */
+  val connectedComponents: String =
+    s"""WITH RECURSIVE $graphCtes,
+       |r(v, l) AS (
+       |  SELECT v, v FROM verts
+       |  UNION
+       |  SELECT ud.w, r.l FROM r JOIN ud ON ud.u = r.v)
+       |SELECT v, min(l) AS component FROM r GROUP BY v""".stripMargin
+
+  /** PageRank at exactly `iters` synchronous iterations, unrolled (no recursion —
+    * DuckDB recursive CTEs cannot aggregate in the recursive term). */
+  def pagerankFixed(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append("WITH ").append(graphCtes).append(",\n")
+    sb.append("n AS (SELECT count(*) AS n FROM verts),\n")
+    sb.append("r0 AS (SELECT verts.v AS v, 1.0 / n.n AS pr FROM verts CROSS JOIN n)")
+    for (i <- 1 to iters) {
+      sb.append(s""",
+        |s$i AS (
+        |  SELECT ud.w AS v, sum(r${i - 1}.pr / deg.deg) AS s
+        |  FROM ud
+        |  JOIN r${i - 1} ON r${i - 1}.v = ud.u
+        |  JOIN deg ON deg.v = ud.u
+        |  GROUP BY ud.w),
+        |r$i AS (
+        |  SELECT verts.v AS v, 0.15 / n.n + 0.85 * coalesce(s$i.s, 0) AS pr
+        |  FROM verts CROSS JOIN n LEFT JOIN s$i ON s$i.v = verts.v)""".stripMargin)
+    }
+    sb.append(s"\nSELECT v, round(pr, 6) AS pr FROM r$iters")
+    sb.toString
+  }
+
+  /** Synchronous label propagation at exactly `iters` steps, unrolled. Tie-break:
+    * highest neighbor-label count, then smallest label. */
+  def lpaFixed(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append("WITH ").append(graphCtes).append(",\n")
+    sb.append("l0 AS (SELECT v, v AS label FROM verts)")
+    for (i <- 1 to iters) {
+      sb.append(s""",
+        |c$i AS (
+        |  SELECT ud.w AS v, l${i - 1}.label AS lbl, count(*) AS n
+        |  FROM ud JOIN l${i - 1} ON l${i - 1}.v = ud.u
+        |  GROUP BY ud.w, l${i - 1}.label),
+        |l$i AS (
+        |  SELECT v, lbl AS label FROM (
+        |    SELECT v, lbl, row_number() OVER (PARTITION BY v ORDER BY n DESC, lbl ASC) AS rn
+        |    FROM c$i) t
+        |  WHERE rn = 1)""".stripMargin)
+    }
+    sb.append(s"\nSELECT v, label FROM l$iters")
+    sb.toString
+  }
+
+  val q1Agg: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 4) AS sum_qty,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+}

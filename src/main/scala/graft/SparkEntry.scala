@@ -1,13 +1,88 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] with a DuckDB-expressible semantics has a matching
+  * entry in [[oracleSql]] with IDENTICAL output column names (the driver sorts
+  * columns by name before hashing values).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Canonical undirected edge table derived from the `events` parquet under `dir`
+    * — the shared input of all graph kernels (mirrors [[OracleSql.edgesCte]]). */
+  private def canonical(s: SparkSession, dir: String): DataFrame =
+    Ingest.edgesFromEvents(s, dir)
+
+  private def orientedOf(s: SparkSession, dir: String): DataFrame = {
+    val c = canonical(s, dir)
+    GraphCore.orient(c, GraphCore.degrees(c))
+  }
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0: global triangle count
+    * via degree-ordered orientation + 3-way join. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    TriangleCount.globalRelational(orientedOf(spark, "/root/testdata/sf0.001"))
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ BASELINE.json
+    * north_star kernels and the training-data-pipeline operators). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- sources / graph derivation -------------------------------------------
+    "edges_events" -> ((s, d) => canonical(s, d)),
+    "degrees" -> ((s, d) => GraphCore.degrees(canonical(s, d))),
+    "oriented_edges" -> ((s, d) => orientedOf(s, d)),
+    "adjacency_csv" -> ((s, d) =>
+      GraphCore.adjacency(orientedOf(s, d))
+        .select(col("v"), col("deg"),
+          concat_ws(",", transform(col("nbrs"), _.cast("string"))).as("nbrs_csv"))),
+    // --- headline kernel: exact triangle counting ------------------------------
+    "triangles_global" -> ((s, d) =>
+      TriangleCount.globalRelational(orientedOf(s, d))),
+    "triangles_adj_global" -> ((s, d) => {
+      val o = orientedOf(s, d)
+      TriangleCount.globalAdjacency(s, o, GraphCore.adjacency(o))
+    }),
+    "triangles_per_vertex" -> ((s, d) => {
+      val c = canonical(s, d)
+      TriangleCount.perVertex(c, GraphCore.orient(c, GraphCore.degrees(c)))
+    }),
+    // --- iterative kernels ------------------------------------------------------
+    "connected_components" -> ((s, d) => Components.run(canonical(s, d))),
+    "pagerank_10iter" -> ((s, d) =>
+      PageRank.fixedIterations(canonical(s, d), 10)
+        .select(col("v"), round(col("pr"), 6).as("pr"))),
+    "lpa_2step" -> ((s, d) => LabelProp.run(canonical(s, d), 2)),
+    // --- relational sanity ------------------------------------------------------
+    "q1_agg" -> ((s, d) =>
+      Ingest.table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_rows"))),
+    // --- non-SQL-expressible (rows-only check): transcript ingest path ----------
+    "transcript_edges" -> ((s, _) =>
+      Ingest.edgesFromTranscripts(Transcripts.synth(s, 200, 16).toDF())),
+    "pagerank_converged" -> ((s, d) =>
+      PageRank.run(canonical(s, d), maxIter = 100, tol = 1e-6)
+        .select(col("v"), round(col("pr"), 6).as("pr")))
+  )
+
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the same
+    * parquet tables. Omitted keys get a weaker rows-only check. */
+  def oracleSql: Map[String, String] = Map(
+    "edges_events" -> OracleSql.edges,
+    "degrees" -> OracleSql.degrees,
+    "oriented_edges" -> OracleSql.oriented,
+    "adjacency_csv" -> OracleSql.adjacencyCsv,
+    "triangles_global" -> OracleSql.trianglesGlobal,
+    "triangles_adj_global" -> OracleSql.trianglesGlobal,
+    "triangles_per_vertex" -> OracleSql.trianglesPerVertex,
+    "connected_components" -> OracleSql.connectedComponents,
+    "pagerank_10iter" -> OracleSql.pagerankFixed(10),
+    "lpa_2step" -> OracleSql.lpaFixed(2),
+    "q1_agg" -> OracleSql.q1Agg
+  )
 }
