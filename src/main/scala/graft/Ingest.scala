@@ -75,4 +75,24 @@ object Ingest {
     * downstream lookups can reverse the mapping via a dimension table. */
   def participantId(name: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     xxhash64(name)
+
+  /** The reference's own input format: a headerless binary file of little-endian
+    * uint32 pairs, edge count = file_size/8 with a trailing partial record silently
+    * dropped (TrCountingGraph.cpp:48-53 — documented reference semantics, asserted
+    * by our malformed-input test). Accepts a glob so a directory of shards scans in
+    * parallel. Output: raw (src, dst) pairs — feed through [[GraphCore.clean]]. */
+  def edgesFromBinary(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("content"))
+      .as[Array[Byte]]
+      .flatMap { bytes =>
+        val m = bytes.length / 8
+        val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        (0 until m.toInt).iterator.map { i =>
+          Edge(buf.getInt(i * 8) & 0xFFFFFFFFL, buf.getInt(i * 8 + 4) & 0xFFFFFFFFL)
+        }
+      }
+      .toDF()
+  }
 }

@@ -140,4 +140,98 @@ object OracleSql {
       |       count(*) AS n_rows
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // ===== documents / embeddings (training-data-pipeline operators) =============
+
+  val tokenCount: String =
+    """SELECT doc_id,
+      |       CAST(len(list_filter(string_split("text", ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+      |FROM documents""".stripMargin
+
+  private def duckMarkerCount(padded: String, m: String): String =
+    s"(length($padded) - length(replace($padded, '$m', ''))) / ${m.length}"
+
+  /** Generated from the SAME marker table as the Spark side
+    * ([[graft.docs.TextOps.langMarkers]]) — no drift possible. */
+  val langId: String = {
+    val perLang = graft.docs.TextOps.langMarkers.map { case (lang, markers) =>
+      val score = markers.map(m => duckMarkerCount("p", m)).mkString(" + ")
+      s"SELECT doc_id, '$lang' AS lang_pred, $score AS score FROM padded"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH padded AS (SELECT doc_id, ' ' || lower("text") || ' ' AS p FROM documents),
+       |scores AS (
+       |$perLang)
+       |SELECT doc_id, lang_pred, score FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang_pred ASC) AS rn
+       |  FROM scores) t
+       |WHERE rn = 1""".stripMargin
+  }
+
+  val qualityScore: String = {
+    val stops = Seq(" the ", " and ", " of ").map(m => duckMarkerCount("p", m)).mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT doc_id, "text" AS t, ' ' || lower("text") || ' ' AS p FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |         CAST(length(t) AS BIGINT) AS n_chars,
+       |         CAST(len(list_filter(string_split(t, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+       |         length(regexp_replace(lower(t), '[^a-z]', '', 'g')) / greatest(length(t), 1) AS alpha_ratio,
+       |         $stops AS stops
+       |  FROM base)
+       |SELECT doc_id, n_chars, n_tokens,
+       |       round(0.4 * alpha_ratio + 0.3 * least(n_tokens / 50.0, 1.0)
+       |             + 0.3 * least(stops / 10.0, 1.0), 4) AS quality
+       |FROM m""".stripMargin
+  }
+
+  val docFingerprint: String =
+    """SELECT doc_id,
+      |       CASE WHEN length("text") = 0 THEN 0
+      |            ELSE list_reduce(
+      |              list_prepend(0::BIGINT, [CAST(unicode(c) AS BIGINT) for c in string_split("text", '')]),
+      |              (acc, x) -> (acc * 31 + x) % 1000000007)
+      |       END AS fp
+      |FROM documents""".stripMargin
+
+  val dedupExact: String =
+    """WITH n AS (
+      |  SELECT doc_id, trim(regexp_replace(lower("text"), '\s+', ' ', 'g')) AS norm
+      |  FROM documents)
+      |SELECT doc_id,
+      |       min(doc_id) OVER (PARTITION BY norm) AS canonical_id,
+      |       doc_id <> min(doc_id) OVER (PARTITION BY norm) AS is_dup
+      |FROM n""".stripMargin
+
+  def ngramJaccardPairs(k: Int, threshold: Double): String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, substr("text", u, $k) AS sh
+       |  FROM (SELECT doc_id, "text", unnest(range(1, length("text") - ${k - 2})) AS u
+       |        FROM documents WHERE length("text") >= $k)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+       |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT a, b, round(i / (sa.n + sb.n - i), 6) AS jac
+       |  FROM inter
+       |  JOIN sz sa ON sa.doc_id = a
+       |  JOIN sz sb ON sb.doc_id = b)
+       |SELECT a, b, jac FROM jac WHERE jac >= $threshold""".stripMargin
+
+  def embedCosineTopK(k: Int, queryMod: Int): String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings
+       |  WHERE sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0),
+       |q AS (SELECT vec_id AS q_id, emb AS qe, nrm AS qn FROM n WHERE vec_id % $queryMod = 0),
+       |s AS (
+       |  SELECT q.q_id, n.vec_id AS nbr_id,
+       |         round(list_dot_product(q.qe, n.emb) / (q.qn * n.nrm), 6) AS score
+       |  FROM q JOIN n ON n.vec_id <> q.q_id),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, nbr_id ASC) AS rnk
+       |  FROM s)
+       |SELECT q_id, nbr_id, score, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= $k""".stripMargin
 }

@@ -62,6 +62,32 @@ object SparkEntry {
           round(sum(col("l_quantity")), 4).as("sum_qty"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
           count(lit(1)).as("n_rows"))),
+    // --- training-data pipeline: text analysis ----------------------------------
+    "token_count" -> ((s, d) => docs.TextOps.tokenCount(Ingest.table(s, d, "documents"))),
+    "lang_id" -> ((s, d) => docs.TextOps.langId(Ingest.table(s, d, "documents"))),
+    "quality_score" -> ((s, d) => docs.TextOps.qualityScore(Ingest.table(s, d, "documents"))),
+    "doc_fingerprint" -> ((s, d) => docs.TextOps.fingerprint(Ingest.table(s, d, "documents"))),
+    // --- training-data pipeline: dedup -------------------------------------------
+    "dedup_exact" -> ((s, d) => docs.Dedup.exact(Ingest.table(s, d, "documents"))),
+    "ngram_jaccard_pairs" -> ((s, d) =>
+      docs.Dedup.ngramJaccardPairs(Ingest.table(s, d, "documents"), k = 5, threshold = 0.35)),
+    "minhash_lsh_pairs" -> ((s, d) =>
+      docs.Dedup.minhashLshPairs(Ingest.table(s, d, "documents"), k = 5, threshold = 0.35)),
+    "simhash64" -> ((s, d) => docs.Dedup.simhash(Ingest.table(s, d, "documents"))),
+    // --- training-data pipeline: similarity search -------------------------------
+    "embed_cosine_topk" -> ((s, d) =>
+      docs.Similarity.bruteForceCosineTopK(Ingest.table(s, d, "embeddings"), k = 5, queryMod = 25)),
+    "embed_lsh_topk" -> ((s, d) =>
+      docs.Similarity.lshCosineTopK(Ingest.table(s, d, "embeddings"), dim = 64, k = 5,
+        queryMod = 25, planes = 8)),
+    // --- training-data pipeline: multimodal plumbing (decode is a marked stub) ---
+    "multimodal_features" -> ((s, d) =>
+      docs.Multimodal.extractFeatures(s,
+        docs.Multimodal.synthFromDocuments(Ingest.table(s, d, "documents"))).toDF()),
+    "frame_sample" -> ((s, d) =>
+      docs.Multimodal.frameSample(
+        docs.Multimodal.synthFromDocuments(Ingest.table(s, d, "documents")), 4)
+        .select(col("doc_id"), col("mime"), col("frame_idx"), length(col("frame")).as("frame_bytes"))),
     // --- non-SQL-expressible (rows-only check): transcript ingest path ----------
     "transcript_edges" -> ((s, _) =>
       Ingest.edgesFromTranscripts(Transcripts.synth(s, 200, 16).toDF())),
@@ -83,6 +109,13 @@ object SparkEntry {
     "connected_components" -> OracleSql.connectedComponents,
     "pagerank_10iter" -> OracleSql.pagerankFixed(10),
     "lpa_2step" -> OracleSql.lpaFixed(2),
-    "q1_agg" -> OracleSql.q1Agg
+    "q1_agg" -> OracleSql.q1Agg,
+    "token_count" -> OracleSql.tokenCount,
+    "lang_id" -> OracleSql.langId,
+    "quality_score" -> OracleSql.qualityScore,
+    "doc_fingerprint" -> OracleSql.docFingerprint,
+    "dedup_exact" -> OracleSql.dedupExact,
+    "ngram_jaccard_pairs" -> OracleSql.ngramJaccardPairs(5, 0.35),
+    "embed_cosine_topk" -> OracleSql.embedCosineTopK(5, 25)
   )
 }

@@ -1,0 +1,85 @@
+package graft.docs
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (vec_id, embedding: array<float>,
+  * label).
+  *
+  * [[bruteForceCosineTopK]] is the exact baseline: query-set × corpus cosine with a
+  * per-query top-k window. The dot product is a codegen'd higher-order fold
+  * (`zip_with` + `aggregate`) — no UDFs.
+  *
+  * [[lshCosineTopK]] is the scale path: random-hyperplane (SimHash-style) bucketing
+  * — each vector gets a `planes`-bit signature from deterministic hash-derived ±1
+  * hyperplanes; only vectors sharing a bucket are compared. At 100 TB the bucket
+  * equi-join replaces the query×corpus cross join; recall is tunable via `planes`
+  * (fewer bits → bigger buckets → higher recall, more compute).
+  */
+object Similarity {
+
+  /** (vec_id, emb: array<double>, nrm: double) with zero-norm guard. */
+  private def normed(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(aggregate(col("emb"), lit(0.0), (a, x) => a + x * x)))
+      .where(col("nrm") > 0)
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Exact cosine top-k for every query vector (`vec_id % queryMod == 0`), self
+    * excluded. Output (q_id, nbr_id, score, rnk), score rounded to 6, rnk 1..k with
+    * deterministic (score desc, nbr_id asc) tie-break. */
+  def bruteForceCosineTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 25): DataFrame = {
+    val n = normed(embeddings)
+    val q = n.select(col("vec_id").as("q_id"), col("emb").as("qe"), col("nrm").as("qn"))
+      .where(pmod(col("q_id"), lit(queryMod)) === 0)
+    val scored = broadcast(q).join(n, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nbr_id"),
+        round(dot(col("qe"), col("emb")) / (col("qn") * col("nrm")), 6).as("score"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("nbr_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("nbr_id"), col("score"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /** `planes`-bit random-hyperplane signature of the array column named `embName`.
+    * Hyperplane component (b, j) is ±1 by bit (j mod 32) of xxhash64(b, j div 32) —
+    * fully deterministic, no materialized hyperplane table. */
+  private def rhSignature(embName: String, dim: Int, planes: Int): Column =
+    expr(
+      s"""aggregate(
+         |  sequence(0, ${planes - 1}), cast(0 as bigint),
+         |  (acc, b) -> acc + if(
+         |    aggregate(sequence(0, ${dim - 1}), cast(0.0 as double),
+         |      (s, j) -> s + element_at($embName, j + 1) *
+         |        if(((xxhash64(b, cast(j / 32 as int)) >> (j % 32)) & 1) = 1, 1.0, -1.0)) >= 0,
+         |    shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""".stripMargin)
+
+  /** Approximate cosine top-k via hyperplane buckets. Same output shape as
+    * [[bruteForceCosineTopK]]; recall < 1 by construction. */
+  def lshCosineTopK(
+      embeddings: DataFrame,
+      dim: Int,
+      k: Int = 5,
+      queryMod: Int = 25,
+      planes: Int = 8): DataFrame = {
+    val n = normed(embeddings)
+      .withColumn("bucket", rhSignature("emb", dim, planes))
+    val q = n.select(col("vec_id").as("q_id"), col("emb").as("qe"),
+        col("nrm").as("qn"), col("bucket"))
+      .where(pmod(col("q_id"), lit(queryMod)) === 0)
+    val scored = q.join(n, Seq("bucket"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nbr_id"),
+        round(dot(col("qe"), col("emb")) / (col("qn") * col("nrm")), 6).as("score"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("nbr_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("nbr_id"), col("score"), col("rnk").cast("long").as("rnk"))
+  }
+}

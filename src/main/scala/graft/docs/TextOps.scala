@@ -1,0 +1,90 @@
+package graft.docs
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the training-data-pipeline
+  * layer (not in the reference, which computes on raw ints only; required by the
+  * builder brief as first-class operators). Everything is pure Catalyst
+  * (`functions._` + higher-order array functions), codegen-friendly, no UDFs, and
+  * each operator has an exact DuckDB twin in [[graft.OracleSql]].
+  */
+object TextOps {
+
+  /** Whitespace token count: split on single space, drop empties. */
+  def tokenCountCol(text: Column): Column =
+    size(filter(split(text, " "), _ =!= "")).cast("long")
+
+  def tokenCount(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokenCountCol(col("text")).as("n_tokens"))
+
+  /** Occurrences of literal `marker` in space-padded text (counts non-overlapping
+    * matches via length difference — identical semantics in Spark and DuckDB). */
+  def markerCount(text: Column, marker: String): Column =
+    (length(text) - length(replace(text, lit(marker), lit("")))) / lit(marker.length)
+
+  /** Language → stopword markers for the n-gram-heuristic language id. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "es" -> Seq(" el ", " los ", " que "),
+    "fr" -> Seq(" le ", " les ", " des "),
+    "zh" -> Seq(" shi ", " bu ", " wo "))
+
+  /** Heuristic language id: per-language stopword-marker counts, argmax with
+    * (score desc, lang asc) tie-break. Output (doc_id, lang_pred, score). */
+  def langId(docs: DataFrame): DataFrame = {
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val scored = langMarkers.map { case (lang, markers) =>
+      docs.select(
+        col("doc_id"),
+        lit(lang).as("lang_pred"),
+        markers.map(m => markerCount(padded, m)).reduce(_ + _).as("score"))
+    }.reduce(_ unionAll _)
+    val best = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("lang_pred").asc)
+    scored
+      .withColumn("rn", row_number().over(best))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("lang_pred"), col("score"))
+  }
+
+  /** Quality score in [0,1]: alphabetic-character ratio, capped token count, capped
+    * stopword count. Deterministic, documented formula (mirrored in the oracle).
+    * Output (doc_id, n_chars, n_tokens, quality). */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val t = lower(col("text"))
+    val nChars = length(col("text")).cast("long")
+    val alphaRatio = length(regexp_replace(t, "[^a-z]", "")) /
+      greatest(length(col("text")), lit(1))
+    val nTokens = tokenCountCol(col("text"))
+    val padded = concat(lit(" "), t, lit(" "))
+    val stops = Seq(" the ", " and ", " of ").map(m => markerCount(padded, m)).reduce(_ + _)
+    docs.select(
+      col("doc_id"),
+      nChars.as("n_chars"),
+      nTokens.as("n_tokens"),
+      round(
+        lit(0.4) * alphaRatio +
+          lit(0.3) * least(nTokens / lit(50.0), lit(1.0)) +
+          lit(0.3) * least(stops / lit(10.0), lit(1.0)),
+        4).as("quality"))
+  }
+
+  /** Deterministic document fingerprint: polynomial rolling hash of the character
+    * stream, mod 1e9+7 (stays far from int64 overflow under ANSI mode).
+    * Output (doc_id, fp). */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      when(length(col("text")) === 0, lit(0L)).otherwise(
+        aggregate(
+          transform(split(col("text"), ""), c => ascii(c).cast("long")),
+          lit(0L),
+          (acc, x) => (acc * 31 + x) % 1000000007L)).as("fp"))
+
+  /** Whitespace-normalized lowercase text — the exact-dedup key. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+}

@@ -1,0 +1,214 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.docs.{Dedup, Multimodal, Similarity, TextOps}
+
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docsDF(texts: (Long, String)*) = texts.toDF("doc_id", "text")
+
+  test("token count: empties dropped, whitespace runs handled") {
+    val got = TextOps.tokenCount(docsDF(
+        0L -> "one two three", 1L -> "  padded  tokens  ", 2L -> "", 3L -> "single"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 3L, 1L -> 2L, 2L -> 0L, 3L -> 1L))
+  }
+
+  test("lang id: marker-dominant text classified, tie broken alphabetically") {
+    val got = TextOps.langId(docsDF(
+        0L -> "the cat and the dog of the house",
+        1L -> "der hund und die katze und der vogel",
+        2L -> "xyzzy")) // no markers anywhere → all scores 0 → 'de' (alphabetical)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(0L -> "en", 1L -> "de", 2L -> "de"))
+  }
+
+  test("quality score in [0,1] and monotone in alphabetic content") {
+    val got = TextOps.qualityScore(docsDF(
+        0L -> "the quick brown fox and the lazy dog of the field",
+        1L -> "0123456789 !!! ### $$$ %%%"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got.values.forall(q => q >= 0.0 && q <= 1.0))
+    assert(got(0L) > got(1L))
+  }
+
+  test("fingerprint: deterministic, sensitive to single-char change, 0 on empty") {
+    val got = TextOps.fingerprint(docsDF(0L -> "hello world", 1L -> "hello worle", 2L -> ""))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) !== got(1L))
+    assert(got(2L) === 0L)
+    val again = TextOps.fingerprint(docsDF(0L -> "hello world"))
+      .collect().head.getLong(1)
+    assert(again === got(0L))
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val corpus = Seq(
+    0L -> "the quick brown fox jumps over the lazy dog in the sunny meadow today",
+    1L -> "The  quick  brown fox jumps over the LAZY dog in the sunny meadow today",
+    2L -> "the quick brown fox jumps over the lazy dog in the sunny meadow tonight",
+    3L -> "completely different content about spark shuffles and partitions here",
+    4L -> "another unrelated document mentioning triangles and adjacency lists")
+
+  private def docsDF = corpus.toDF("doc_id", "text")
+
+  test("exact dedup: case/whitespace-normalized duplicates collapse to min id") {
+    val got = Dedup.exact(docsDF).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got(0L) === (0L, false))
+    assert(got(1L) === (0L, true)) // same after normalization
+    assert(got(2L)._2 === false) // near but not exact
+  }
+
+  test("ngram jaccard: near-identical pair found, unrelated pair absent, self-similarity 1") {
+    val pairs = Dedup.ngramJaccardPairs(docsDF, k = 5, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((0L, 2L)), s"expected (0,2) in ${pairs.keySet}")
+    assert(!pairs.contains((3L, 4L)))
+    val self = Dedup.ngramJaccardPairs(
+      Seq(0L -> corpus.head._2, 9L -> corpus.head._2).toDF("doc_id", "text"),
+      k = 5, threshold = 0.3).collect()
+    assert(self.length === 1 && self.head.getDouble(2) === 1.0)
+  }
+
+  test("minhash LSH candidates recover all exact-jaccard pairs on this corpus") {
+    val exact = Dedup.ngramJaccardPairs(docsDF, k = 5, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docsDF, k = 5, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exact)
+  }
+
+  test("minhash lsh jaccard values equal the exact ones (verification join is exact)") {
+    val exact = Dedup.ngramJaccardPairs(docsDF, k = 5, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    Dedup.minhashLshPairs(docsDF, k = 5, threshold = 0.3).collect().foreach { r =>
+      assert(exact((r.getLong(0), r.getLong(1))) === r.getDouble(2))
+    }
+  }
+
+  test("simhash: identical docs equal, near-identical close, unrelated far (hamming)") {
+    val hs = Dedup.simhash(docsDF).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(0L), hs(2L)) < ham(hs(0L), hs(3L)))
+    val dup = Dedup.simhash(Seq(0L -> corpus.head._2, 9L -> corpus.head._2).toDF("doc_id", "text"))
+      .collect().map(_.getLong(1))
+    assert(dup(0) === dup(1))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 4-dim toy corpus: vec 0 (query) is nearly parallel to vec 7, orthogonal to 50.
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+    (7L, Array(0.99f, 0.1f, 0.0f, 0.0f), 0),
+    (13L, Array(0.7f, 0.7f, 0.0f, 0.0f), 1),
+    (50L, Array(0.0f, 0.0f, 1.0f, 0.0f), 2),
+    (99L, Array(0.0f, 0.0f, 0.0f, -1.0f), 3))
+
+  private def embDF = vecs.toDF("vec_id", "embedding", "label")
+
+  test("brute-force cosine top-k: correct order and scores") {
+    val got = Similarity.bruteForceCosineTopK(embDF, k = 4, queryMod = 25) // queries: 0, 50
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
+    assert(got((0L, 1L)) === 7L)  // most parallel
+    assert(got((0L, 2L)) === 13L)
+    val scores = Similarity.bruteForceCosineTopK(embDF, k = 4, queryMod = 25)
+      .where(col("q_id") === 0L).collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(math.abs(scores(7L) - 0.99 / math.sqrt(0.99 * 0.99 + 0.01)) < 1e-4)
+    assert(scores(50L) === 0.0)
+  }
+
+  test("LSH top-k finds the high-similarity neighbor (same bucket by construction)") {
+    val got = Similarity.lshCosineTopK(embDF, dim = 4, k = 4, queryMod = 25, planes = 4)
+      .where(col("q_id") === 0L && col("rnk") === 1).collect()
+    assert(got.length === 1 && got.head.getLong(1) === 7L,
+      "near-parallel vector must share all hyperplane signs with the query")
+  }
+
+  test("deterministic across runs") {
+    val a = Similarity.bruteForceCosineTopK(embDF, 4, 25).collect().toSeq.map(_.toString).sorted
+    val b = Similarity.bruteForceCosineTopK(embDF, 4, 25).collect().toSeq.map(_.toString).sorted
+    assert(a === b)
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docsDF = Seq(
+    0L -> "abcdefgh", 1L -> "zyxwvuts", 2L -> "short").toDF("doc_id", "text")
+
+  test("media synth: schema, deterministic mime assignment, payload round-trips text bytes") {
+    val m = Multimodal.synthFromDocuments(docsDF).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getAs[Array[Byte]](2))).toMap
+    assert(m(0L)._1 === "image/png" && m(1L)._1 === "audio/wav" && m(2L)._1 === "video/mp4")
+    assert(new String(m(0L)._2, "UTF-8") === "abcdefgh")
+  }
+
+  test("feature extraction: stub decode deterministic, n_bytes exact, features normalized") {
+    val f = Multimodal.extractFeatures(spark, Multimodal.synthFromDocuments(docsDF))
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(f(0L).n_bytes === 8L)
+    assert(math.abs(f(0L).features.sum - 1.0f) < 1e-5)
+    val again = Multimodal.extractFeatures(spark, Multimodal.synthFromDocuments(docsDF))
+      .collect().map(r => r.doc_id -> r.checksum).toMap
+    assert(f.view.mapValues(_.checksum).toMap === again)
+  }
+
+  test("frame sample: n frames per doc, frames are contiguous payload slices") {
+    val frames = Multimodal.frameSample(Multimodal.synthFromDocuments(docsDF), 4)
+      .where(col("doc_id") === 0L).orderBy("frame_idx")
+      .collect().map(r => new String(r.getAs[Array[Byte]](3), "UTF-8"))
+    assert(frames.toSeq === Seq("ab", "cd", "ef", "gh"))
+  }
+}
+
+class BinaryIngestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Pack edges as the reference's little-endian uint32 pairs
+    * (graph_generator.py:6-16). */
+  private def writeBin(name: String, ints: Seq[Long]): String = {
+    val buf = java.nio.ByteBuffer.allocate(ints.length * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    ints.foreach(i => buf.putInt(i.toInt))
+    val p = java.nio.file.Files.createTempDirectory("graft-bin").resolve(name)
+    java.nio.file.Files.write(p, buf.array())
+    p.toString
+  }
+
+  test("reference fixture binaries reproduce golden counts through binary ingest") {
+    val tri1 = writeBin("test_io.bin", Seq(0L, 1L, 2L, 0L, 1L, 2L))
+    assert(TriangleCount.countPairs(Ingest.edgesFromBinary(spark, tri1)).first().getLong(0) === 1L)
+    val nv = writeBin("test_io_nvgraph.bin",
+      Seq(1L, 0L, 2L, 1L, 3L, 1L, 3L, 2L, 4L, 2L, 4L, 3L, 5L, 4L, 5L, 3L))
+    assert(TriangleCount.countPairs(Ingest.edgesFromBinary(spark, nv)).first().getLong(0) === 3L)
+  }
+
+  test("malformed input: odd trailing ints silently truncated (reference file_size/8 semantics)") {
+    // 5 ints = 2 edges + half a record — the reference's test_io_false.bin shape
+    val p = writeBin("test_io_false.bin", Seq(0L, 1L, 1L, 2L, 7L))
+    val edges = Ingest.edgesFromBinary(spark, p)
+    assert(edges.count() === 2L)
+  }
+
+  test("uint32 ids above Int.MaxValue read as positive longs") {
+    val big = 4294967295L // 2^32 - 1
+    val p = writeBin("big.bin", Seq(big, 1L))
+    val row = Ingest.edgesFromBinary(spark, p).collect().head
+    assert(row.getLong(0) === big && row.getLong(1) === 1L)
+  }
+}
