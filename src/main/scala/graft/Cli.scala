@@ -41,8 +41,8 @@ object Cli {
         TriangleCount.globalRelational(
           GraphCore.orient(canonical, GraphCore.degrees(canonical)))
       case "triangles-adj" =>
-        val oriented = GraphCore.orient(canonical, GraphCore.degrees(canonical))
-        TriangleCount.globalAdjacency(spark, oriented, GraphCore.adjacency(oriented))
+        val oriented = GraphCore.orient(canonical, GraphCore.degrees(canonical)).persist()
+        TriangleCount.globalAdjacency(spark, oriented, GraphCore.adjacency(oriented).persist())
       case "pervertex" =>
         TriangleCount.perVertex(canonical,
           GraphCore.orient(canonical, GraphCore.degrees(canonical)))

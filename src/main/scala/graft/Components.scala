@@ -32,7 +32,11 @@ object Components {
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
-      edges = smallStar(largeStar(edges)).localCheckpoint(true)
+      // checkpoint between the two phases: small-star references its input twice
+      // (join side + grouped-min side) — without truncation large-star would run
+      // twice per round
+      val ls = largeStar(edges).localCheckpoint(true)
+      edges = smallStar(ls).localCheckpoint(true)
       val cur = checksum(edges)
       converged = cur == prev
       prev = cur

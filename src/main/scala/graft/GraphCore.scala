@@ -96,4 +96,15 @@ object GraphCore {
   def symmetric(canonical: DataFrame): DataFrame =
     canonical.unionAll(
       canonical.select(col("dst").as("src"), col("src").as("dst")))
+
+  /** Per-partition CSR-style layout (north_star): adjacency rows range-partitioned
+    * by vertex id and sorted within each partition, so each partition is a
+    * contiguous, ordered CSR block — the Spark analog of the reference's
+    * node-aligned balanced splits (`get_split_v2`, TrCountingGraph.cpp:365-380).
+    * Range partitioning balances by ROW count (sampled), and since orientation
+    * bounds every row's array at O(√m), row balance ≈ byte balance. */
+  def csrPartitioned(adjacency: DataFrame, numPartitions: Int): DataFrame =
+    adjacency
+      .repartitionByRange(numPartitions, col("v"))
+      .sortWithinPartitions(col("v"))
 }

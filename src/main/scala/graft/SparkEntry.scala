@@ -12,14 +12,31 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   /** Canonical undirected edge table derived from the `events` parquet under `dir`
-    * — the shared input of all graph kernels (mirrors [[OracleSql.edgesCte]]). */
-  private def canonical(s: SparkSession, dir: String): DataFrame =
-    Ingest.edgesFromEvents(s, dir)
+    * — the shared input of all graph kernels (mirrors [[OracleSql.edgesCte]]).
+    *
+    * Persisted and memoized per (session, dir): every graph query references this
+    * table several times (self-joins, degree joins), and without a persist each
+    * reference re-runs the scan+window+distinct derivation — the plan audit showed
+    * the parquet scan 6× inside one triangle query. At cluster scale this is the
+    * "materialize the edge table once" step of any production pipeline. */
+  private val edgeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private def orientedOf(s: SparkSession, dir: String): DataFrame = {
-    val c = canonical(s, dir)
-    GraphCore.orient(c, GraphCore.degrees(c))
-  }
+  private def canonical(s: SparkSession, dir: String): DataFrame =
+    edgeCache.computeIfAbsent((s, dir), { case (ss, d) =>
+      Ingest.edgesFromEvents(ss, d).persist()
+    })
+
+  private val orientedCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Oriented edges, persisted for the same reason as [[canonical]]: the triangle
+    * 3-way self-join references it three times. */
+  private def orientedOf(s: SparkSession, dir: String): DataFrame =
+    orientedCache.computeIfAbsent((s, dir), { case (ss, d) =>
+      val c = canonical(ss, d)
+      GraphCore.orient(c, GraphCore.degrees(c)).persist()
+    })
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: global triangle count
     * via degree-ordered orientation + 3-way join. */
@@ -42,7 +59,8 @@ object SparkEntry {
       TriangleCount.globalRelational(orientedOf(s, d))),
     "triangles_adj_global" -> ((s, d) => {
       val o = orientedOf(s, d)
-      TriangleCount.globalAdjacency(s, o, GraphCore.adjacency(o))
+      // adjacency persisted: referenced by both join sides of the intersect plan
+      TriangleCount.globalAdjacency(s, o, GraphCore.adjacency(o).persist())
     }),
     "triangles_per_vertex" -> ((s, d) => {
       val c = canonical(s, d)

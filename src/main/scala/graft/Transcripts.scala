@@ -24,13 +24,23 @@ object Transcripts {
     "read", "write", "spill", "broadcast", "partition", "skew", "salt", "codegen"
   ).map(lit): _*)
 
-  private val tools = array(lit("bash"), lit("grep"), lit("read"), lit("edit"))
-
   /** `nConvs` conversations × `turnsPerConv` turns, alternating user/assistant roles;
-    * roughly a third of assistant turns carry a deterministic tool. */
-  def synth(spark: SparkSession, nConvs: Long, turnsPerConv: Int, seed: Long = 42L): Dataset[Turn] = {
+    * roughly a third of assistant turns carry a deterministic tool out of a universe
+    * of `nTools` names. Tool popularity is skewed (Zipf-ish via pow(u, `skew`)) so
+    * the derived co-occurrence graph has the hot-vertex structure of real agent
+    * traffic — the case the engine's orientation/salting/AQE story must handle. */
+  def synth(
+      spark: SparkSession,
+      nConvs: Long,
+      turnsPerConv: Int,
+      seed: Long = 42L,
+      nTools: Int = 4,
+      skew: Double = 1.0): Dataset[Turn] = {
     import spark.implicits._
     val h = xxhash64(lit(seed), col("conv"), col("turn_idx"))
+    // uniform in [0,1) from the hash, then skewed: floor(nTools * u^skew)
+    val u = pmod(h, lit(1000000L)).cast("double") / 1000000.0
+    val toolIdx = floor(pow(u, skew) * nTools).cast("int")
     spark.range(nConvs * turnsPerConv)
       .select(
         (col("id") / turnsPerConv).cast("long").as("conv"),
@@ -46,7 +56,7 @@ object Transcripts {
         )).as("text"),
         when(
           pmod(col("turn_idx"), lit(2)) === 1 && pmod(h, lit(3)) === 0,
-          element_at(tools, pmod(h, lit(4)).cast("int") + 1)
+          concat(lit("tool-"), toolIdx.cast("string"))
         ).otherwise(lit(null).cast("string")).as("tool"),
         timestamp_seconds(lit(epoch) + col("conv") * 3600 + col("turn_idx") * 7).as("ts"))
       .as[Turn]

@@ -43,7 +43,9 @@ object Dedup {
     * Output (a, b, jac) with a < b, jac rounded to 6. O(pairs sharing a shingle) —
     * the small-scale correctness anchor for [[minhashLshPairs]]. */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 5, threshold: Double = 0.35): DataFrame = {
-    val sh = shingles(docs, k)
+    // persisted: referenced three times (both self-join sides + sizes) — without it
+    // the shingle explode runs three times per query
+    val sh = shingles(docs, k).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("x").join(sh.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
@@ -90,6 +92,7 @@ object Dedup {
     require(perms % bands == 0, "bands must divide perms")
     val rows = perms / bands
     val sigs = minhashSignatures(docs, k, perms)
+      .persist() // referenced by every band
     val banded = sigs.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
@@ -101,7 +104,7 @@ object Dedup {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     // exact-verify only the candidates
-    val sh = shingles(docs, k)
+    val sh = shingles(docs, k).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     candidates
       .join(sh.select(col("doc_id").as("a"), col("sh")), "a")

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.Turn
+
+/** Structured Streaming surface over the transcripts table: incremental ingest of
+  * the same (conv_id, turn_idx, role, text, tool, ts) schema the batch path reads.
+  *
+  * The reference is strictly batch (SURVEY.md §2.10) — this is the engine's
+  * incremental-ingest addition: new transcript files landing in a directory are
+  * micro-batched, watermarked on event time `ts`, and folded into (a) windowed
+  * participant activity aggregates and (b) per-conversation running state via
+  * `flatMapGroupsWithState` (the custom-state path for conversation-level features
+  * that pure windowed aggs can't express).
+  *
+  * State scale: conversation state is keyed by conv_id and evicted by event-time
+  * timeout after the watermark passes — state size tracks *active* conversations,
+  * not history, which is what makes it viable at 10^12-turn scale.
+  */
+object StreamingIngest {
+
+  val turnSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.Encoders.product[Turn].schema
+
+  /** Open a file-based transcript stream (parquet files arriving under `dir`). */
+  def readTranscripts(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(turnSchema).parquet(dir)
+
+  /** Windowed participant activity: turns per (1-minute window, participant), where
+    * participant = role or tool. Watermark 10 minutes — late turns beyond it are
+    * dropped deterministically. Append-mode compatible. */
+  def participantActivity(transcripts: DataFrame): DataFrame = {
+    val participants = transcripts.select(col("ts"), col("role").as("p"))
+      .unionAll(transcripts.where(col("tool").isNotNull).select(col("ts"), col("tool").as("p")))
+    participants
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 minute"), col("p"))
+      .agg(count(lit(1)).as("turns"))
+      .select(col("window.start").as("window_start"), col("p"), col("turns"))
+  }
+
+  final case class ConvState(turns: Int, participants: Set[String], lastTs: Long)
+  final case class ConvUpdate(conv_id: String, turns: Int, n_participants: Int, closed: Boolean)
+
+  /** Per-conversation running state: turn count + distinct participant set, emitted
+    * on every update; marked closed when the conversation times out (no event within
+    * `timeoutMs` of event time, gated by the watermark). */
+  def conversationProgress(
+      spark: SparkSession,
+      transcripts: DataFrame,
+      timeoutMs: Long = 60 * 60 * 1000L): Dataset[ConvUpdate] = {
+    import spark.implicits._
+    transcripts
+      .withWatermark("ts", "10 minutes")
+      .as[Turn]
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState[ConvState, ConvUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (convId: String, turns: Iterator[Turn], state: GroupState[ConvState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ConvUpdate(convId, s.turns, s.participants.size, closed = true))
+          } else {
+            val prev = state.getOption.getOrElse(ConvState(0, Set.empty, 0L))
+            val batch = turns.toSeq
+            val ps = batch.flatMap(t => Option(t.tool).toSeq :+ t.role).toSet
+            val next = ConvState(
+              prev.turns + batch.size,
+              prev.participants ++ ps,
+              math.max(prev.lastTs, batch.map(_.ts.getTime).max))
+            state.update(next)
+            state.setTimeoutTimestamp(next.lastTs + timeoutMs)
+            Iterator.single(ConvUpdate(convId, next.turns, next.participants.size, closed = false))
+          }
+      }
+  }
+}

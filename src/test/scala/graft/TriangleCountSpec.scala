@@ -110,6 +110,25 @@ class GraphCoreSpec extends AnyFunSuite {
     }
   }
 
+  test("csrPartitioned: vertex-contiguous ordered partitions, content preserved") {
+    val rnd = new scala.util.Random(11)
+    val es = Seq.fill(300)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+    val adj = GraphCore.adjacency(GraphCore.orientClean(edgeDF(es)))
+    val csr = GraphCore.csrPartitioned(adj, 4)
+    import org.apache.spark.sql.functions.spark_partition_id
+    val rows = csr.select(spark_partition_id().as("pid"), org.apache.spark.sql.functions.col("v"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    // within each partition ids are sorted, and partition ranges do not overlap
+    val byPid = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    byPid.values.foreach(vs => assert(vs == vs.sorted))
+    val ranges = byPid.toSeq.sortBy(_._1).map { case (_, vs) => (vs.min, vs.max) }
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(hi < lo)
+      case _ =>
+    }
+    assert(csr.count() === adj.count())
+  }
+
   test("degrees match hand-computed values on nvgraph8") {
     val canonical = GraphCore.clean(edgeDF(fixtures.nvgraph8))
     val got = GraphCore.degrees(canonical).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
