@@ -4,10 +4,12 @@ import org.apache.spark.sql.SparkSession
 
 /** Command-line entry point — the Spark analog of the reference's
   * `./nvtc-variant -f graph.bin` (`/root/reference/nvtc/main.cpp:25-50`):
-  * derive the edge table from a testdata dir and run one kernel.
+  * derive the edge table and run one kernel.
   *
-  * Usage: `graft.Cli <kernel> <sfDir> [maxIter]`
+  * Usage: `graft.Cli <kernel> <input> [maxIter]`
   * kernels: triangles | triangles-adj | pervertex | pagerank | components | lpa | degrees
+  * input: a testdata dir (events.parquet edge derivation), or a `.bin` path — the
+  * reference's own little-endian uint32 pair format (the `-f graph.bin` path).
   */
 object Cli {
   def main(args: Array[String]): Unit = {
@@ -34,7 +36,10 @@ object Cli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
-    val canonical = GraphCore.clean(Ingest.edgesFromEvents(spark, sfDir)).localCheckpoint(true)
+    val raw =
+      if (sfDir.endsWith(".bin")) Ingest.edgesFromBinary(spark, sfDir)
+      else Ingest.edgesFromEvents(spark, sfDir)
+    val canonical = GraphCore.clean(raw).localCheckpoint(true)
     val edgeCount = canonical.count()
     val out = kernel match {
       case "triangles" =>

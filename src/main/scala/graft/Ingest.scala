@@ -27,6 +27,14 @@ object Ingest {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Format seam for the transcripts source (SURVEY.md §7.3): a catalog table name
+    * (`catalog.db.transcripts` — the Iceberg deployment path; no Iceberg jar ships
+    * in this sandbox) or a parquet path/glob. Schema is identical either way; every
+    * downstream operator is source-agnostic. */
+  def transcripts(spark: SparkSession, ref: String): DataFrame =
+    if (ref.contains("/") || ref.endsWith(".parquet")) spark.read.parquet(ref)
+    else spark.read.table(ref)
+
   /** Canonical edges from the `events` table: within each `event_type` stream ordered
     * by (ts, event_id), each event links its user to the previous event's user.
     * Deterministic, sparse (≤ one raw pair per event), and 1:1 expressible in DuckDB

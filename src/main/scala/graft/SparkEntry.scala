@@ -66,6 +66,10 @@ object SparkEntry {
       val c = canonical(s, d)
       TriangleCount.perVertex(c, GraphCore.orient(c, GraphCore.degrees(c)))
     }),
+    "triangles_per_vertex_adj" -> ((s, d) => {
+      val o = orientedOf(s, d)
+      TriangleCount.perVertexAdjacency(canonical(s, d), o, GraphCore.adjacency(o))
+    }),
     // --- iterative kernels ------------------------------------------------------
     "connected_components" -> ((s, d) => Components.run(canonical(s, d))),
     "pagerank_10iter" -> ((s, d) =>
@@ -92,6 +96,15 @@ object SparkEntry {
     "minhash_lsh_pairs" -> ((s, d) =>
       docs.Dedup.minhashLshPairs(Ingest.table(s, d, "documents"), k = 5, threshold = 0.35)),
     "simhash64" -> ((s, d) => docs.Dedup.simhash(Ingest.table(s, d, "documents"))),
+    "simhash_neardup_pairs" -> ((s, d) => {
+      val h = docs.Dedup.simhash(Ingest.table(s, d, "documents")).persist()
+      val a = h.select(col("doc_id").as("a"), col("simhash").as("ha"))
+      val b = h.select(col("doc_id").as("b"), col("simhash").as("hb"))
+      a.join(b, col("a") < col("b"))
+        .select(col("a"), col("b"),
+          docs.Dedup.hamming64(col("ha"), col("hb")).cast("long").as("hamming"))
+        .where(col("hamming") <= 8)
+    }),
     // --- training-data pipeline: similarity search -------------------------------
     "embed_cosine_topk" -> ((s, d) =>
       docs.Similarity.bruteForceCosineTopK(Ingest.table(s, d, "embeddings"), k = 5, queryMod = 25)),
@@ -124,6 +137,7 @@ object SparkEntry {
     "triangles_global" -> OracleSql.trianglesGlobal,
     "triangles_adj_global" -> OracleSql.trianglesGlobal,
     "triangles_per_vertex" -> OracleSql.trianglesPerVertex,
+    "triangles_per_vertex_adj" -> OracleSql.trianglesPerVertex,
     "connected_components" -> OracleSql.connectedComponents,
     "pagerank_10iter" -> OracleSql.pagerankFixed(10),
     "lpa_2step" -> OracleSql.lpaFixed(2),

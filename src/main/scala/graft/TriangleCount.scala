@@ -58,6 +58,33 @@ object TriangleCount {
       .select(col("v"), coalesce(col("cnt"), lit(0L)).as("tri_cnt"))
   }
 
+  /** Per-vertex counts in the adjacency (scale-path) form: for each oriented edge
+    * (u,v), every w ∈ N⁺(u) ∩ N⁺(v) closes one triangle {u,v,w} — u, v and w each
+    * get one credit. Materializes only the actual intersection elements (O(#triangles)
+    * rows), never the O(m^1.5) wedge set of the relational form. Results identical
+    * to [[perVertex]]. */
+  def perVertexAdjacency(canonical: DataFrame, oriented: DataFrame, adj: DataFrame): DataFrame = {
+    val adjU = adj.select(col("v").as("src"), col("nbrs").as("nbrs_u"))
+    val adjV = adj.select(col("v").as("dst"), col("nbrs").as("nbrs_v"))
+    val withW = oriented
+      .join(adjU, "src")
+      .join(adjV, "dst")
+      .select(col("src"), col("dst"),
+        array_intersect(col("nbrs_u"), col("nbrs_v")).as("ws"))
+      .where(size(col("ws")) > 0)
+      .persist()
+    val endpointCredits = withW
+      .select(col("src").as("v"), size(col("ws")).cast("long").as("c"))
+      .unionAll(withW.select(col("dst").as("v"), size(col("ws")).cast("long").as("c")))
+    val witnessCredits = withW
+      .select(explode(col("ws")).as("v"), lit(1L).as("c"))
+    val corners = endpointCredits.unionAll(witnessCredits)
+      .groupBy("v").agg(sum("c").as("cnt"))
+    GraphCore.vertices(canonical)
+      .join(corners, Seq("v"), "left")
+      .select(col("v"), coalesce(col("cnt"), lit(0L)).as("tri_cnt"))
+  }
+
   /** Global triangle count via adjacency-list intersection (the reference's physical
     * shape). `adj` must be [[GraphCore.adjacency]] of `oriented`. */
   def globalAdjacency(spark: SparkSession, oriented: DataFrame, adj: DataFrame): DataFrame = {

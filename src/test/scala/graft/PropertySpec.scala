@@ -1,0 +1,113 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import TestSpark.edgeDF
+
+/** Property-based invariants (SURVEY.md §5): orientation and triangle-count
+  * invariants under permutation/duplication/direction flips, differential equality
+  * of the physical forms, and a hub-skew stress graph.
+  *
+  * Uses raw ScalaCheck generators with explicit seeds (the scalatest-scalacheck
+  * bridge artifact is not in the offline dependency cache) — deterministic and
+  * reproducible by seed.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val params = Gen.Parameters.default
+
+  private val edgeListGen: Gen[List[(Long, Long)]] =
+    Gen.chooseNum(5, 40).flatMap { n =>
+      Gen.listOfN(60,
+        Gen.zip(Gen.chooseNum(0L, n.toLong), Gen.chooseNum(0L, n.toLong)))
+    }
+
+  private def cases(seeds: Range): Seq[List[(Long, Long)]] =
+    seeds.map(s => edgeListGen.pureApply(params, Seed(s.toLong)))
+
+  /** In-memory exact triangle counter (node-iterator over cleaned edges). */
+  private def goldenTriangles(edges: Seq[(Long, Long)]): Long = {
+    val canon = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val nbrs = canon.toSeq.flatMap(e => Seq(e, e.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    canon.toSeq.map { case (u, v) => (nbrs(u) & nbrs(v)).count(_ > v) }.sum
+  }
+
+  test("triangle count: relational == adjacency == in-memory golden, invariant " +
+      "under shuffle/dup/flip (8 seeded random graphs)") {
+    cases(1 to 8).foreach { edges =>
+      val want = goldenTriangles(edges)
+      val variants = Seq(
+        edges,
+        scala.util.Random.shuffle(edges) ++ edges.take(5), // dups
+        edges.map { case (u, v) => (v, u) }) // flipped
+      variants.foreach { es =>
+        assert(TriangleCount.countPairs(edgeDF(es)).first().getLong(0) === want)
+      }
+      assert(TriangleCount.countPairsAdjacency(spark, edgeDF(edges))
+        .first().getLong(0) === want)
+    }
+  }
+
+  test("orientation: bijective on cleaned edges, acyclic by (deg, id) order (8 seeds)") {
+    cases(11 to 18).foreach { edges =>
+      val canonical = GraphCore.clean(edgeDF(edges))
+      val deg = GraphCore.degrees(canonical)
+      val oriented = GraphCore.orient(canonical, deg)
+      val d = deg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val o = oriented.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val c = canonical.collect()
+        .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1)))).toSet
+      assert(o.map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet === c)
+      assert(o.length === c.size)
+      o.foreach { case (u, v) =>
+        assert(d(u) < d(v) || (d(u) == d(v) && u < v),
+          s"orientation violates (deg,id) order on ($u,$v)")
+      }
+    }
+  }
+
+  test("components: star algorithm == min-propagation (4 seeds)") {
+    cases(21 to 24).foreach { edges =>
+      val canonical = GraphCore.clean(edgeDF(edges)).localCheckpoint(true)
+      val fast = Components.run(canonical).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val slow = Components.minPropagation(canonical).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(fast === slow)
+    }
+  }
+
+  test("per-vertex: adjacency scale-path form equals relational form on a hub-skew graph") {
+    // one hub joined to everyone + random edges: the skew case orientation must absorb
+    val rnd = new scala.util.Random(5)
+    val hub = (1L to 60L).map(v => (0L, v))
+    val rest = Seq.fill(200)((rnd.nextInt(60).toLong + 1, rnd.nextInt(60).toLong + 1))
+    val canonical = GraphCore.clean(edgeDF(hub ++ rest)).localCheckpoint(true)
+    val oriented = GraphCore.orient(canonical, GraphCore.degrees(canonical)).localCheckpoint(true)
+    val adj = GraphCore.adjacency(oriented)
+    val rel = TriangleCount.perVertex(canonical, oriented).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adjForm = TriangleCount.perVertexAdjacency(canonical, oriented, adj).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(adjForm === rel)
+    assert(TriangleCount.globalRelational(oriented).first().getLong(0) ===
+      TriangleCount.globalAdjacency(spark, oriented, adj).first().getLong(0))
+  }
+
+  test("transcript ingest: edge derivation is row-order-insensitive") {
+    (2 to 10 by 4).foreach { nConvs =>
+      val t = Transcripts.synth(spark, nConvs.toLong, 8, nTools = 16)
+      val a = Ingest.edgesFromTranscripts(t.toDF()).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val b = Ingest.edgesFromTranscripts(
+          t.orderBy(org.apache.spark.sql.functions.rand(7)).toDF())
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(a === b)
+    }
+  }
+}
