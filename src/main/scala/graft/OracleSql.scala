@@ -219,6 +219,39 @@ object OracleSql {
        |  JOIN sz sb ON sb.doc_id = b)
        |SELECT a, b, jac FROM jac WHERE jac >= $threshold""".stripMargin
 
+  /** Local clustering coefficient per vertex: 2·T(v) / (d(v)·(d(v)−1)). */
+  val clusteringCoeff: String =
+    s"""WITH $graphCtes,
+       |tri AS (
+       |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+       |  FROM e e1
+       |  JOIN e e2 ON e2.src = e1.dst
+       |  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+       |corners AS (
+       |  SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+       |cnt AS (SELECT v, count(*) AS n FROM corners GROUP BY v)
+       |SELECT verts.v AS v, deg.deg AS deg, coalesce(cnt.n, 0) AS tri_cnt,
+       |       round(CASE WHEN deg.deg >= 2
+       |                  THEN 2.0 * coalesce(cnt.n, 0) / (deg.deg * (deg.deg - 1))
+       |                  ELSE 0.0 END, 6) AS lcc
+       |FROM verts
+       |JOIN deg ON deg.v = verts.v
+       |LEFT JOIN cnt ON cnt.v = verts.v""".stripMargin
+
+  val degreeHistogram: String =
+    s"WITH $graphCtes SELECT deg, count(*) AS n_vertices FROM deg GROUP BY deg"
+
+  def embedNearDupPairs(threshold: Double): String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings
+       |  WHERE sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0)
+       |SELECT a.vec_id AS a, b.vec_id AS b,
+       |       round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS score
+       |FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |WHERE round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) >= $threshold""".stripMargin
+
   def embedCosineTopK(k: Int, queryMod: Int): String =
     s"""WITH n AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS emb,

@@ -70,6 +70,21 @@ object SparkEntry {
       val o = orientedOf(s, d)
       TriangleCount.perVertexAdjacency(canonical(s, d), o, GraphCore.adjacency(o))
     }),
+    "clustering_coeff" -> ((s, d) => {
+      val c = canonical(s, d)
+      val deg = GraphCore.degrees(c)
+      TriangleCount.perVertex(c, orientedOf(s, d))
+        .join(deg, "v")
+        .select(col("v"), col("deg"), col("tri_cnt"),
+          round(
+            when(col("deg") >= 2,
+              lit(2.0) * col("tri_cnt") / (col("deg") * (col("deg") - 1)))
+              .otherwise(lit(0.0)),
+            6).as("lcc"))
+    }),
+    "degree_histogram" -> ((s, d) =>
+      GraphCore.degrees(canonical(s, d))
+        .groupBy("deg").agg(count(lit(1)).as("n_vertices"))),
     // --- iterative kernels ------------------------------------------------------
     "connected_components" -> ((s, d) => Components.run(canonical(s, d))),
     "pagerank_10iter" -> ((s, d) =>
@@ -108,6 +123,8 @@ object SparkEntry {
     // --- training-data pipeline: similarity search -------------------------------
     "embed_cosine_topk" -> ((s, d) =>
       docs.Similarity.bruteForceCosineTopK(Ingest.table(s, d, "embeddings"), k = 5, queryMod = 25)),
+    "embed_neardup_pairs" -> ((s, d) =>
+      docs.Similarity.cosineNearDupPairs(Ingest.table(s, d, "embeddings"), threshold = 0.4)),
     "embed_lsh_topk" -> ((s, d) =>
       docs.Similarity.lshCosineTopK(Ingest.table(s, d, "embeddings"), dim = 64, k = 5,
         queryMod = 25, planes = 8)),
@@ -148,6 +165,9 @@ object SparkEntry {
     "doc_fingerprint" -> OracleSql.docFingerprint,
     "dedup_exact" -> OracleSql.dedupExact,
     "ngram_jaccard_pairs" -> OracleSql.ngramJaccardPairs(5, 0.35),
-    "embed_cosine_topk" -> OracleSql.embedCosineTopK(5, 25)
+    "embed_cosine_topk" -> OracleSql.embedCosineTopK(5, 25),
+    "embed_neardup_pairs" -> OracleSql.embedNearDupPairs(0.4),
+    "clustering_coeff" -> OracleSql.clusteringCoeff,
+    "degree_histogram" -> OracleSql.degreeHistogram
   )
 }

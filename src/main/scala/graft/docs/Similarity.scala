@@ -59,6 +59,20 @@ object Similarity {
          |        if(((xxhash64(b, cast(j / 32 as int)) >> (j % 32)) & 1) = 1, 1.0, -1.0)) >= 0,
          |    shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""".stripMargin)
 
+  /** Embedding-cosine near-duplicate pairs: all (a < b) with cosine ≥ `threshold`.
+    * Brute-force form (exact, oracle-checkable); at scale, bucket first with
+    * [[lshCosineTopK]]'s hyperplane signature and verify within buckets — same
+    * two-tier pattern as [[graft.docs.Dedup.minhashLshPairs]]. */
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val n = normed(embeddings)
+    val a = n.select(col("vec_id").as("a"), col("emb").as("ea"), col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("b"), col("emb").as("eb"), col("nrm").as("nb"))
+    a.join(b, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("score"))
+      .where(col("score") >= threshold)
+  }
+
   /** Approximate cosine top-k via hyperplane buckets. Same output shape as
     * [[bruteForceCosineTopK]]; recall < 1 by construction. */
   def lshCosineTopK(
