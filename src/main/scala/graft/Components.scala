@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Connected components. Labels are exact: every vertex is labeled with the minimum
@@ -32,11 +33,9 @@ object Components {
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
-      // checkpoint between the two phases: small-star references its input twice
-      // (join side + grouped-min side) — without truncation large-star would run
-      // twice per round
-      val ls = largeStar(edges).localCheckpoint(true)
-      edges = smallStar(ls).localCheckpoint(true)
+      // both star phases are single-pass (window-min, no self-join), so the whole
+      // round is one chained plan with one lineage-truncating checkpoint
+      edges = smallStar(largeStar(edges)).localCheckpoint(true)
       val cur = checksum(edges)
       converged = cur == prev
       prev = cur
@@ -49,25 +48,35 @@ object Components {
   }
 
   /** Large-star round: every node connects its strictly-larger neighbors to the
-    * minimum of its closed neighborhood. Preserves (src > dst) orientation. */
+    * minimum of its closed neighborhood. Preserves (src > dst) orientation.
+    *
+    * Implemented with a window-min rather than groupBy-min + self-join: the window
+    * reads its input once, so the round's plan has no duplicated subtree and needs
+    * no mid-round checkpoint — one pass, then the emit projection. */
   private[graft] def largeStar(edges: DataFrame): DataFrame = {
     val sym = edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-    val mins = sym.groupBy("src").agg(min("dst").as("mn"))
-    sym.join(mins, "src")
+    val byNode = Window.partitionBy(col("src"))
+    sym
+      .withColumn("mn", least(min(col("dst")).over(byNode), col("src")))
       .where(col("dst") > col("src"))
-      .select(col("dst").as("src"), least(col("mn"), col("src")).as("dst"))
+      .select(col("dst").as("src"), col("mn").as("dst"))
       .distinct()
   }
 
   /** Small-star round: every node connects itself and its smaller neighbors to the
-    * minimum of its smaller neighborhood. Preserves (src > dst) orientation. */
+    * minimum of its smaller neighborhood. Preserves (src > dst) orientation.
+    * Single-pass: the window computes the min, one explode emits both the
+    * neighbor→min edges and the self→min edge (deduped by the round's distinct). */
   private[graft] def smallStar(edges: DataFrame): DataFrame = {
-    val withMin = edges.join(edges.groupBy("src").agg(min("dst").as("mn")), "src")
-    val nbrs = withMin
-      .where(col("dst") =!= col("mn"))
-      .select(col("dst").as("src"), col("mn").as("dst"))
-    val self = withMin.select(col("src"), col("mn").as("dst"))
-    nbrs.unionAll(self).where(col("src") =!= col("dst")).distinct()
+    val byNode = Window.partitionBy(col("src"))
+    edges
+      .withColumn("mn", min(col("dst")).over(byNode))
+      .select(explode(array(
+        struct(col("dst").as("src"), col("mn").as("dst")),
+        struct(col("src").as("src"), col("mn").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
   }
 
   /** Order-insensitive 64-bit fingerprint of an edge set (count, xor of row hashes).

@@ -148,6 +148,11 @@ object OracleSql {
       |       CAST(len(list_filter(string_split("text", ' '), x -> x <> '')) AS BIGINT) AS n_tokens
       |FROM documents""".stripMargin
 
+  val tokenCountBpe: String =
+    s"""SELECT doc_id,
+       |       CAST(len(regexp_extract_all(lower("text"), '${graft.docs.TextOps.bpePattern}')) AS BIGINT) AS n_bpe_tokens
+       |FROM documents""".stripMargin
+
   private def duckMarkerCount(padded: String, m: String): String =
     s"(length($padded) - length(replace($padded, '$m', ''))) / ${m.length}"
 

@@ -52,14 +52,16 @@ object ScalingBench {
     spark.stop()
   }
 
-  private def measure(path: String, cpus: Int, reps: Int): Unit = {
+  private def measure(path: String, cpus: Int, reps: Int, only: Option[String]): Unit = {
     val spark = Bench.session(cpus.toString)
     spark.sparkContext.setLogLevel("WARN")
     val edges = spark.read.parquet(path).persist()
     val nEdges = edges.count() // also warms the persist
     Bench.materialize(GraphCore.degrees(edges)) // codegen/JIT warm-up
     val results = (1 to reps).map { rep =>
-      kernels(spark, edges).map { case (name, mk) =>
+      kernels(spark, edges)
+        .filter { case (name, _) => only.forall(_ == name) }
+        .map { case (name, mk) =>
         val t0 = System.nanoTime()
         Bench.materialize(mk())
         val sec = (System.nanoTime() - t0) / 1e9
@@ -81,9 +83,10 @@ object ScalingBench {
     case "gen" :: nConvs :: nTools :: path :: Nil =>
       gen(nConvs.toLong, nTools.toInt, path)
     case "measure" :: path :: cpus :: rest =>
-      measure(path, cpus.toInt, rest.headOption.map(_.toInt).getOrElse(2))
+      measure(path, cpus.toInt,
+        rest.headOption.map(_.toInt).getOrElse(2), rest.drop(1).headOption)
     case _ =>
-      System.err.println("usage: ScalingBench gen <nConvs> <nTools> <path> | measure <path> <cpus> [reps]")
+      System.err.println("usage: ScalingBench gen <nConvs> <nTools> <path> | measure <path> <cpus> [reps] [kernel]")
       sys.exit(2)
   }
 }

@@ -101,6 +101,7 @@ object SparkEntry {
           count(lit(1)).as("n_rows"))),
     // --- training-data pipeline: text analysis ----------------------------------
     "token_count" -> ((s, d) => docs.TextOps.tokenCount(Ingest.table(s, d, "documents"))),
+    "token_count_bpe" -> ((s, d) => docs.TextOps.tokenCountBpe(Ingest.table(s, d, "documents"))),
     "lang_id" -> ((s, d) => docs.TextOps.langId(Ingest.table(s, d, "documents"))),
     "quality_score" -> ((s, d) => docs.TextOps.qualityScore(Ingest.table(s, d, "documents"))),
     "doc_fingerprint" -> ((s, d) => docs.TextOps.fingerprint(Ingest.table(s, d, "documents"))),
@@ -160,6 +161,7 @@ object SparkEntry {
     "lpa_2step" -> OracleSql.lpaFixed(2),
     "q1_agg" -> OracleSql.q1Agg,
     "token_count" -> OracleSql.tokenCount,
+    "token_count_bpe" -> OracleSql.tokenCountBpe,
     "lang_id" -> OracleSql.langId,
     "quality_score" -> OracleSql.qualityScore,
     "doc_fingerprint" -> OracleSql.docFingerprint,

@@ -19,6 +19,16 @@ object TextOps {
   def tokenCount(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), tokenCountCol(col("text")).as("n_tokens"))
 
+  /** BPE-ish subword-boundary token count: alphabetic runs, digit runs, and single
+    * non-alphanumeric marks each count as one token (the pre-tokenization split
+    * most BPE vocabularies start from). Simple char classes only, so the regex
+    * means the same thing in Spark (Java) and DuckDB (RE2). */
+  val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  def tokenCountBpe(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_count(lower(col("text")), lit(bpePattern)).cast("long").as("n_bpe_tokens"))
+
   /** Occurrences of literal `marker` in space-padded text (counts non-overlapping
     * matches via length difference — identical semantics in Spark and DuckDB). */
   def markerCount(text: Column, marker: String): Column =
