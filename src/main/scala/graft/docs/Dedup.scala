@@ -62,21 +62,23 @@ object Dedup {
   /** MinHash signatures: `perms` permutation-min hashes per document.
     * h_i(s) = (a_i·x + b_i) mod p over x = xxhash64(shingle), a_i = 2i+1 odd,
     * p = 1e9+7 (keeps a_i·x ≪ 2^63 — no ANSI overflow).
-    * Output (doc_id, sig: array<long> of length `perms`). */
+    * Output (doc_id, sig: array<long> of length `perms`).
+    *
+    * One shuffle (shingle-hash collect per doc), then the perms×shingles fold runs
+    * entirely inside codegen via nested higher-order functions — no
+    * shingles×perms row explosion (a 64× blow-up that dominated the LSH
+    * pipeline's time before). */
   def minhashSignatures(docs: DataFrame, k: Int = 5, perms: Int = 64): DataFrame = {
     val p = 1000000007L
     val h = shingles(docs, k)
       .select(col("doc_id"), pmod(xxhash64(col("sh")), lit(p)).as("x"))
-    // (doc, perm) → min hash; map-side combinable.
-    h.select(col("doc_id"), col("x"),
-        explode(sequence(lit(0), lit(perms - 1))).as("i"))
-      .select(col("doc_id"), col("i"),
-        pmod(col("x") * (col("i") * 2 + 1) + pmod(xxhash64(col("i")), lit(p)), lit(p)).as("hx"))
-      .groupBy("doc_id", "i")
-      .agg(min("hx").as("mh"))
-      .groupBy("doc_id")
-      .agg(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-        s => s.getField("mh")).as("sig"))
+    h.groupBy("doc_id")
+      .agg(collect_set(col("x")).as("xs"))
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(0, ${perms - 1}), i ->
+           |  aggregate(xs, cast($p as bigint),
+           |    (mn, x) -> least(mn, pmod(x * (i * 2 + 1) + pmod(xxhash64(i), $p), $p))))"""
+          .stripMargin).as("sig"))
   }
 
   /** LSH candidate pairs from banded MinHash signatures, verified with exact
