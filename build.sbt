@@ -28,3 +28,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Forked `run` output goes straight to this process's stdout, unprefixed —
+// sbt's logger wraps it in "[info] " otherwise, which breaks the driver's
+// machine parse of Bench's one-line JSON.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)

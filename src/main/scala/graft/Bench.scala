@@ -68,7 +68,15 @@ object Bench {
     val qs = headline.filter(results.contains)
       .map(k => "\"" + k + "\":" + f"${results(k)}%.3f").mkString("{", ",", "}")
     val total = results.values.sum
-    println(f"""{"metric":"total_headline_sec","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":"$cpus"}""")
+    val line =
+      f"""{"metric":"total_headline_sec","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":"$cpus"}"""
+    println(line)
+    // The driver parses the bench output; sbt's logger prefixes stdout with
+    // [info], which broke machine parsing in round 1 ("parsed": null). Persist
+    // the same line to a file as the authoritative machine-readable copy.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
     spark.stop()
   }
 }

@@ -224,6 +224,45 @@ object OracleSql {
        |  JOIN sz sb ON sb.doc_id = b)
        |SELECT a, b, jac FROM jac WHERE jac >= $threshold""".stripMargin
 
+  /** Per-document 64-bit SimHash CTE — twin of [[graft.docs.Dedup.simhash]] (same
+    * rolling token hash and affine per-bit re-mix). Bit 63 cannot be built as
+    * `1 << 63` in DuckDB (bigint overflow error); it is added as the signed
+    * two's-complement offset instead. */
+  val simhashCte: String = {
+    def vote(i: String) =
+      s"""coalesce(list_sum(list_transform(rs, r ->
+         |             CASE WHEN ((r * (2 * $i + 1) + ($i * 2654435761) % 1000000007)
+         |                        % 1000000007) % 2 = 1 THEN 1 ELSE -1 END)), 0)""".stripMargin
+    s"""toks AS (
+       |  SELECT doc_id, list_filter(string_split(lower("text"), ' '), x -> x <> '') AS ts
+       |  FROM documents),
+       |rsl AS (
+       |  SELECT doc_id, list_transform(ts, t ->
+       |    list_reduce(
+       |      list_prepend(0::BIGINT, [CAST(unicode(c) AS BIGINT) for c in string_split(t, '')]),
+       |      (acc, x) -> (acc * 31 + x) % 1000000007)) AS rs
+       |  FROM toks),
+       |sh AS (
+       |  SELECT doc_id,
+       |         CAST(coalesce(list_sum(list_transform(range(0, 63), i ->
+       |           CASE WHEN ${vote("i")} > 0
+       |                THEN (1::BIGINT << i) ELSE 0::BIGINT END)), 0) AS BIGINT)
+       |         + CASE WHEN ${vote("63")} > 0
+       |                THEN -9223372036854775807 - 1 ELSE 0 END AS simhash
+       |  FROM rsl)""".stripMargin
+  }
+
+  val simhash64: String = s"WITH $simhashCte SELECT doc_id, simhash FROM sh"
+
+  /** Brute-force pair form at oracle scale; the engine reaches the identical row
+    * set through pigeonhole banding ([[graft.docs.Dedup.simhashNearDupPairs]]). */
+  def simhashNearDupPairs(maxHamming: Int): String =
+    s"""WITH $simhashCte
+       |SELECT a.doc_id AS a, b.doc_id AS b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming""".stripMargin
+
   /** Local clustering coefficient per vertex: 2·T(v) / (d(v)·(d(v)−1)). */
   val clusteringCoeff: String =
     s"""WITH $graphCtes,
@@ -256,6 +295,45 @@ object OracleSql {
        |       round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS score
        |FROM n a JOIN n b ON a.vec_id < b.vec_id
        |WHERE round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) >= $threshold""".stripMargin
+
+  /** Twin of the multimodal feature-extract stub: the synthetic payload is the
+    * UTF-8 text bytes, and the driver's documents are pure ASCII, so byte values
+    * equal `unicode(c)` per character — same trick as [[docFingerprint]]. */
+  val multimodalFeatures: String = {
+    val fCols = (0 until 8).map { i =>
+      s"round(coalesce(len(list_filter(cs, x -> x % 8 = $i)), 0) / greatest(n_bytes, 1), 6) AS f$i"
+    }.mkString(",\n       ")
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
+       |              WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+       |         CAST(octet_length(encode("text")) AS BIGINT) AS n_bytes,
+       |         [CAST(unicode(c) AS BIGINT) for c in string_split("text", '')] AS cs
+       |  FROM documents)
+       |SELECT doc_id, mime, n_bytes,
+       |       CASE WHEN n_bytes = 0 THEN 0
+       |            ELSE list_reduce(list_prepend(0::BIGINT, cs),
+       |                             (acc, x) -> (acc * 31 + x) % 1000000007)
+       |       END AS checksum,
+       |       $fCols
+       |FROM b""".stripMargin
+  }
+
+  /** Twin of [[graft.docs.Multimodal.frameSample]] restricted to frame *lengths*
+    * (the binary frame itself is length-checked, not value-checked — its bytes are
+    * a substring of the payload by construction). */
+  def frameSample(n: Int): String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
+       |              WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+       |         CAST(octet_length(encode("text")) AS BIGINT) AS len
+       |  FROM documents),
+       |f AS (SELECT doc_id, mime, len,
+       |             greatest(CAST(floor(len / $n) AS BIGINT), 1) AS flen FROM m)
+       |SELECT doc_id, mime, CAST(u AS BIGINT) AS frame_idx,
+       |       CAST(greatest(least(flen, len - flen * u), 0) AS BIGINT) AS frame_bytes
+       |FROM f, unnest(range(0, $n)) AS t(u)""".stripMargin
 
   def embedCosineTopK(k: Int, queryMod: Int): String =
     s"""WITH n AS (

@@ -18,12 +18,24 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup on whitespace-normalized lowercase text. Output one row per doc:
-    * (doc_id, canonical_id, is_dup) where canonical_id = min doc_id of the group. */
+    * (doc_id, canonical_id, is_dup) where canonical_id = min doc_id of the group.
+    *
+    * The group key is a 128-bit content hash (two independently-seeded xxhash64 of
+    * the normalized text), NOT the text itself: at 100 TB the window's shuffle key
+    * must be 16 bytes, not a whole document (round-1 audit finding). Collision odds
+    * across P candidate pairs are P/2^128 — the same equality-by-hash contract as
+    * content-addressed stores; a byte-exact within-group verify would require
+    * shuffling the full text, which is exactly the cost this removes. */
   def exact(docs: DataFrame): DataFrame = {
-    val byNorm = Window.partitionBy(col("norm"))
-    docs
+    val keyed = docs
       .select(col("doc_id"), TextOps.normalized(col("text")).as("norm"))
-      .withColumn("canonical_id", min(col("doc_id")).over(byNorm))
+      .select(
+        col("doc_id"),
+        xxhash64(col("norm")).as("h1"),
+        xxhash64(lit("graft.dedup.exact/2"), col("norm")).as("h2"))
+    val byKey = Window.partitionBy(col("h1"), col("h2"))
+    keyed
+      .withColumn("canonical_id", min(col("doc_id")).over(byKey))
       .select(col("doc_id"), col("canonical_id"),
         (col("doc_id") =!= col("canonical_id")).as("is_dup"))
   }
@@ -122,23 +134,77 @@ object Dedup {
   }
 
   /** 64-bit SimHash over whitespace tokens (unit weights): per-bit ±1 votes summed
-    * across token hashes, sign → bit. Output (doc_id, simhash). Pure higher-order
-    * expressions — the per-doc fold runs inside codegen, no shuffle beyond the
-    * token collect. */
-  def simhash(docs: DataFrame): DataFrame = {
-    val tokens = docs.select(col("doc_id"),
-      filter(split(lower(col("text")), " "), _ =!= "").as("toks"))
-    tokens.select(
-      col("doc_id"),
-      expr(
-        """aggregate(
-          |  sequence(0, 63),
-          |  cast(0 as bigint),
-          |  (acc, i) -> acc + if(
-          |    aggregate(toks, cast(0 as bigint),
-          |      (s, t) -> s + if(((xxhash64(t) >> i) & 1) = 1, 1, -1)) > 0,
-          |    shiftleft(cast(1 as bigint), i), cast(0 as bigint)))""".stripMargin)
-        .as("simhash"))
+    * across token hashes, sign → bit. Output (doc_id, simhash).
+    *
+    * The token hash is the same polynomial rolling hash (mod 1e9+7) as
+    * [[TextOps.fingerprint]] — DuckDB-reproducible, so both simhash queries are
+    * oracle-checkable (round 1 used xxhash64, which has no DuckDB twin). Bit i's
+    * per-token vote is the parity of an affine re-mix of the token hash
+    * (r·(2i+1) + i·2654435761 mod p). Pure higher-order expressions — each token
+    * is hashed once, then the 64-bit fold runs inside codegen; the only shuffle is
+    * none at all (per-row computation). */
+  def simhash(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), expr(
+        """transform(
+          |  filter(split(lower(text), ' '), x -> x != ''),
+          |  t -> aggregate(split(t, ''), cast(0 as bigint),
+          |         (acc, c) -> pmod(acc * 31 + ascii(c), 1000000007)))""".stripMargin)
+        .as("rs"))
+      .select(
+        col("doc_id"),
+        expr(
+          """aggregate(
+            |  sequence(0, 63),
+            |  cast(0 as bigint),
+            |  (acc, i) -> acc + if(
+            |    aggregate(rs, cast(0 as bigint),
+            |      (s, r) -> s + if(
+            |        pmod(pmod(r * (2 * i + 1) + pmod(i * 2654435761L, 1000000007),
+            |                  1000000007), 2) = 1, 1, -1)) > 0,
+            |    shiftleft(cast(1 as bigint), i), cast(0 as bigint)))""".stripMargin)
+          .as("simhash"))
+
+  /** SimHash near-duplicate pairs with hamming distance ≤ `maxHamming`, WITHOUT the
+    * all-pairs join (round 1's scale-killer): pigeonhole banding. Split the 64 bits
+    * into `maxHamming + 1` bands — two hashes within hamming `maxHamming` differ in
+    * at most `maxHamming` bands, so at least one band is bit-identical; an equi-join
+    * on (band, band_bits) yields every qualifying pair as a candidate, then the
+    * exact hamming filter verifies. Candidate volume tracks near-duplicate density
+    * (band-bucket sizes), never |docs|². Output (a, b, hamming), a < b — identical
+    * rows to the brute-force form by construction (banding is lossless here). */
+  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val nBands = maxHamming + 1
+    val base = 64 / nBands
+    val widths = Seq.tabulate(nBands)(j => if (j < 64 % nBands) base + 1 else base)
+    val lows = widths.scanLeft(0)(_ + _).init
+    val h = simhash(docs).persist() // both sides of the candidate self-join
+    val bandCols = (0 until nBands).map { j =>
+      // mask after the arithmetic shift → exact logical band extraction, sign-safe
+      struct(lit(j).as("band"),
+        shiftright(col("simhash"), lows(j)).bitwiseAND(lit((1L << widths(j)) - 1)).as("bv"))
+    }
+    val banded = h.select(col("doc_id"), col("simhash").as("h"),
+        explode(array(bandCols: _*)).as("e"))
+      .select(col("doc_id"), col("h"), col("e.band").as("band"), col("e.bv").as("bv"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        hamming64(col("x.h"), col("y.h")).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Brute-force twin of [[simhashNearDupPairs]] — the O(n²) correctness anchor,
+    * for differential tests only (never registered as a scale path). */
+  private[graft] def simhashNearDupPairsBrute(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val h = simhash(docs).persist()
+    val a = h.select(col("doc_id").as("a"), col("simhash").as("ha"))
+    val b = h.select(col("doc_id").as("b"), col("simhash").as("hb"))
+    a.join(b, col("a") < col("b"))
+      .select(col("a"), col("b"), hamming64(col("ha"), col("hb")).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
   }
 
   /** Hamming distance between two 64-bit fingerprints (for near-dup query on

@@ -20,7 +20,7 @@ object Multimodal {
       mime: String,
       n_bytes: Long,
       checksum: Long,
-      features: Array[Float])
+      features: Array[Double])
 
   private val mimes = array(lit("image/png"), lit("audio/wav"), lit("video/mp4"))
 
@@ -44,18 +44,15 @@ object Multimodal {
     * moments). Real deployments swap ONLY this function; the surrounding
     * mapPartitions plumbing (batching, schema, partition preservation) is the
     * production shape. */
-  private[docs] def stubDecode(payload: Array[Byte]): Array[Float] = {
-    val feat = new Array[Float](8)
-    var checksum = 0L
+  private[docs] def stubDecode(payload: Array[Byte]): Array[Double] = {
+    val counts = new Array[Long](8)
     var i = 0
     while (i < payload.length) {
-      val b = payload(i) & 0xff
-      feat(b % 8) += 1.0f
-      checksum = (checksum * 31 + b) % 1000000007L
+      counts((payload(i) & 0xff) % 8) += 1L
       i += 1
     }
-    val n = math.max(payload.length, 1).toFloat
-    feat.map(_ / n)
+    val n = math.max(payload.length, 1).toDouble
+    counts.map(_.toDouble / n)
   }
 
   /** Decode + feature-extract over the media table: one `mapPartitions` pass

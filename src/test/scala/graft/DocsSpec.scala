@@ -95,6 +95,20 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash banded near-dup pairs equal brute force, no cartesian in the plan") {
+    // whitespace-only difference (docs 0/1) → identical token stream → hamming 0,
+    // so the corpus always has at least one qualifying pair
+    val brute = Dedup.simhashNearDupPairsBrute(docsDF, maxHamming = 24).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(brute.nonEmpty)
+    val banded = Dedup.simhashNearDupPairs(docsDF, maxHamming = 24)
+    val got = banded.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === brute)
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "pigeonhole banding must plan as an equi-join, not an all-pairs product")
+  }
+
   test("simhash: identical docs equal, near-identical close, unrelated far (hamming)") {
     val hs = Dedup.simhash(docsDF).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
