@@ -71,32 +71,48 @@ object Dedup {
       .where(col("jac") >= threshold)
   }
 
-  /** MinHash signatures: `perms` permutation-min hashes per document.
-    * h_i(s) = (a_i·x + b_i) mod p over x = xxhash64(shingle), a_i = 2i+1 odd,
+  /** Per-document sorted shingle-hash set: (doc_id, xs: array<long> ascending),
+    * xs = sorted distinct xxhash64(shingle). ONE map-side-combined shuffle keyed
+    * by doc — the single shared input of the MinHash signature fold AND the
+    * candidate verification (round 1 built and persisted the shingle table twice).
+    * Full 64-bit hashes: |hash set| = |shingle set| up to ~2^-64 collision odds,
+    * so hash-set Jaccard equals exact shingle Jaccard. */
+  def shingleSets(docs: DataFrame, k: Int = 5): DataFrame =
+    shingles(docs, k)
+      .select(col("doc_id"), xxhash64(col("sh")).as("x"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("x"))).as("xs"))
+
+  /** MinHash signatures from a [[shingleSets]] table: `perms` permutation-min
+    * hashes per document. h_i(s) = (a_i·(x mod p) + b_i) mod p, a_i = 2i+1 odd,
     * p = 1e9+7 (keeps a_i·x ≪ 2^63 — no ANSI overflow).
     * Output (doc_id, sig: array<long> of length `perms`).
     *
-    * One shuffle (shingle-hash collect per doc), then the perms×shingles fold runs
-    * entirely inside codegen via nested higher-order functions — no
-    * shingles×perms row explosion (a 64× blow-up that dominated the LSH
-    * pipeline's time before). */
-  def minhashSignatures(docs: DataFrame, k: Int = 5, perms: Int = 64): DataFrame = {
+    * The perms×shingles fold runs entirely inside codegen via nested higher-order
+    * functions — no shingles×perms row explosion. */
+  def minhashSignaturesFromSets(sets: DataFrame, perms: Int = 64): DataFrame = {
     val p = 1000000007L
-    val h = shingles(docs, k)
-      .select(col("doc_id"), pmod(xxhash64(col("sh")), lit(p)).as("x"))
-    h.groupBy("doc_id")
-      .agg(collect_set(col("x")).as("xs"))
-      .select(col("doc_id"), expr(
-        s"""transform(sequence(0, ${perms - 1}), i ->
-           |  aggregate(xs, cast($p as bigint),
-           |    (mn, x) -> least(mn, pmod(x * (i * 2 + 1) + pmod(xxhash64(i), $p), $p))))"""
-          .stripMargin).as("sig"))
+    sets.select(col("doc_id"), expr(
+      s"""transform(sequence(0, ${perms - 1}), i ->
+         |  aggregate(xs, cast($p as bigint),
+         |    (mn, x) -> least(mn, pmod(pmod(x, $p) * (i * 2 + 1) + pmod(xxhash64(i), $p), $p))))"""
+        .stripMargin).as("sig"))
   }
+
+  def minhashSignatures(docs: DataFrame, k: Int = 5, perms: Int = 64): DataFrame =
+    minhashSignaturesFromSets(shingleSets(docs, k), perms)
 
   /** LSH candidate pairs from banded MinHash signatures, verified with exact
     * Jaccard. Output (a, b, jac) with jac ≥ `threshold` — same shape as
     * [[ngramJaccardPairs]], but reached without the all-pairs shingle join.
-    * bands×rows must equal the signature length. */
+    * bands×rows must equal the signature length.
+    *
+    * Scale shape: one shuffle builds the shared [[shingleSets]] table (persisted —
+    * signature and verify stages both read it); banding + bucket equi-join yields
+    * candidates proportional to true-duplicate density; verification intersects
+    * the two per-doc SORTED hash arrays with the codegen'd two-pointer merge
+    * ([[graft.expr.SortedIntersectCount]]) — no re-explosion of shingles into a
+    * row-per-(candidate, shingle) join as in round 1. */
   def minhashLshPairs(
       docs: DataFrame,
       k: Int = 5,
@@ -105,9 +121,10 @@ object Dedup {
       threshold: Double = 0.35): DataFrame = {
     require(perms % bands == 0, "bands must divide perms")
     val rows = perms / bands
-    val sigs = minhashSignatures(docs, k, perms)
-      .persist() // referenced by every band
-    val banded = sigs.select(col("doc_id"),
+    graft.expr.SortedIntersectCount.register(docs.sparkSession)
+    val sets = shingleSets(docs, k).persist()
+    val banded = minhashSignaturesFromSets(sets, perms)
+      .select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
             xxhash64(b, slice(col("sig"), b * lit(rows) + lit(1), lit(rows))).as("bh")))).as("e"))
@@ -117,17 +134,12 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    // exact-verify only the candidates
-    val sh = shingles(docs, k).persist()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     candidates
-      .join(sh.select(col("doc_id").as("a"), col("sh")), "a")
-      .join(sh.select(col("doc_id").as("b"), col("sh").as("sh2")), "b")
-      .where(col("sh") === col("sh2"))
-      .groupBy("a", "b")
-      .agg(count(lit(1)).as("i"))
-      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
-      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .join(sets.select(col("doc_id").as("a"), col("xs").as("xa")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("xs").as("xb")), "b")
+      .select(col("a"), col("b"),
+        call_function(graft.expr.SortedIntersectCount.name, col("xa"), col("xb")).as("i"),
+        size(col("xa")).cast("long").as("na"), size(col("xb")).cast("long").as("nb"))
       .select(col("a"), col("b"),
         round(col("i") / (col("na") + col("nb") - col("i")), 6).as("jac"))
       .where(col("jac") >= threshold)
