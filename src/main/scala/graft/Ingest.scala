@@ -62,14 +62,16 @@ object Ingest {
     * one conversation), never in global cardinality. At 10^12 turns this is one scan
     * + one shuffle of |convs| rows.
     */
-  def edgesFromTranscripts(transcripts: DataFrame): DataFrame = {
+  def edgesFromTranscripts(
+      transcripts: DataFrame,
+      pid: org.apache.spark.sql.Column => org.apache.spark.sql.Column = participantId): DataFrame = {
     val participants = transcripts
       .select(col("conv_id"), col("role").as("p"))
       .unionAll(
         transcripts.where(col("tool").isNotNull)
           .select(col("conv_id"), col("tool").as("p")))
       .groupBy("conv_id")
-      .agg(sort_array(collect_set(xxhash64(col("p")))).as("ps"))
+      .agg(sort_array(collect_set(pid(col("p")))).as("ps"))
     // All ordered pairs (i < j) from each conversation's sorted participant array.
     participants
       .select(explode(expr(
@@ -84,21 +86,75 @@ object Ingest {
   def participantId(name: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     xxhash64(name)
 
+  /** DuckDB-reproducible participant id (polynomial rolling hash mod 1e9+7, the
+    * [[graft.docs.TextOps.fingerprint]] hash): weaker avalanche than the 64-bit
+    * default but lets the whole transcripts→edges derivation be oracle-checked.
+    * Collision odds for a participant universe of size n are ≈ n²/2e9 — negligible
+    * for role+tool universes; keep [[participantId]] for production-scale ids. */
+  def participantIdPortable(name: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(
+      transform(split(name, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, x) => pmod(acc * 31 + x, lit(1000000007L)))
+
   /** The reference's own input format: a headerless binary file of little-endian
     * uint32 pairs, edge count = file_size/8 with a trailing partial record silently
     * dropped (TrCountingGraph.cpp:48-53 — documented reference semantics, asserted
-    * by our malformed-input test). Accepts a glob so a directory of shards scans in
-    * parallel. Output: raw (src, dst) pairs — feed through [[GraphCore.clean]]. */
-  def edgesFromBinary(spark: SparkSession, path: String): DataFrame = {
+    * by our malformed-input test). Accepts a glob or directory so a set of shards
+    * scans in parallel. Output: raw (src, dst) pairs — feed through
+    * [[GraphCore.clean]].
+    *
+    * Range-split reader: fixed 8-byte records make split alignment trivial, so the
+    * driver only LISTS files (metadata) and plans `[start, end)` record ranges of
+    * `splitBytes` each; every task positional-reads its own range in bounded 4 MiB
+    * chunks (the Spark analog of the reference's BUFFERSIZE-strided `loadbatch_R4`,
+    * TrCountingGraph.cpp:328-363). A single 32-43 GB kron shard — the reference's
+    * published workload class — becomes hundreds of parallel tasks instead of one
+    * whole-file row with a 2 GiB array cap (round 1's reader). */
+  def edgesFromBinary(spark: SparkSession, path: String, splitBytes: Long = 128L << 20): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(path)
-      .select(col("content"))
-      .as[Array[Byte]]
-      .flatMap { bytes =>
-        val m = bytes.length / 8
-        val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        (0 until m.toInt).iterator.map { i =>
-          Edge(buf.getInt(i * 8) & 0xFFFFFFFFL, buf.getInt(i * 8 + 4) & 0xFFFFFFFFL)
+    require(splitBytes >= 8, "splitBytes must cover at least one record")
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = Option(fs.globStatus(hp)).getOrElse(Array.empty)
+      .flatMap(st => if (st.isDirectory) fs.listStatus(st.getPath) else Array(st))
+      .filterNot(_.isDirectory)
+    val recsPerSplit = math.max(splitBytes / 8, 1L)
+    val splits = files.toSeq.flatMap { st =>
+      val m = st.getLen / 8 // trailing partial record dropped, per reference semantics
+      (0L until m by recsPerSplit).map(r0 =>
+        (st.getPath.toString, r0, math.min(r0 + recsPerSplit, m)))
+    }
+    val parallelism = math.max(math.min(splits.size, spark.sparkContext.defaultParallelism), 1)
+    splits.toDF("path", "rec0", "rec1")
+      .repartition(parallelism)
+      .as[(String, Long, Long)]
+      .mapPartitions { parts =>
+        parts.flatMap { case (p, r0, r1) =>
+          new Iterator[Edge] {
+            private val chunkRecs = (4L << 20) / 8 // 4 MiB chunks: constant task memory
+            private val fp = new org.apache.hadoop.fs.Path(p)
+            private val in = fp.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(fp)
+            Option(org.apache.spark.TaskContext.get())
+              .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+            private var nextRec = r0
+            private var buf: java.nio.ByteBuffer = _
+            private var bufLeft = 0L
+            override def hasNext: Boolean = bufLeft > 0 || nextRec < r1
+            override def next(): Edge = {
+              if (bufLeft == 0) {
+                val n = math.min(chunkRecs, r1 - nextRec)
+                val bytes = new Array[Byte]((n * 8).toInt)
+                in.seek(nextRec * 8)
+                in.readFully(bytes)
+                buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+                bufLeft = n
+                nextRec += n
+              }
+              bufLeft -= 1
+              Edge(buf.getInt() & 0xFFFFFFFFL, buf.getInt() & 0xFFFFFFFFL)
+            }
+          }
         }
       }
       .toDF()

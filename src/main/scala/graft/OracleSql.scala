@@ -263,6 +263,31 @@ object OracleSql {
        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming""".stripMargin
 
+  /** Twin of the transcripts→edges ingest path over the deterministic
+    * documents-derived transcripts table ([[graft.Transcripts.fromDocuments]]):
+    * participant co-occurrence within a conversation, participant ids via the
+    * portable rolling hash ([[graft.Ingest.participantIdPortable]]). */
+  val transcriptEdges: String =
+    """WITH t AS (
+      |  SELECT 'conv-' || CAST(doc_id % 40 AS VARCHAR) AS conv_id,
+      |         'role-' || CAST(CAST(floor(doc_id / 40) AS BIGINT) % 5 AS VARCHAR) AS role,
+      |         CASE WHEN doc_id % 3 = 0 THEN
+      |           'tool-' || CAST(((doc_id % 1000003) * 2654435761) % 1000000007 % 13 AS VARCHAR)
+      |         END AS tool
+      |  FROM documents),
+      |parts AS (
+      |  SELECT DISTINCT conv_id, role AS p FROM t
+      |  UNION
+      |  SELECT DISTINCT conv_id, tool AS p FROM t WHERE tool IS NOT NULL),
+      |ids AS (
+      |  SELECT DISTINCT conv_id,
+      |         list_reduce(list_prepend(0::BIGINT,
+      |           [CAST(unicode(c) AS BIGINT) for c in string_split(p, '')]),
+      |           (acc, x) -> (acc * 31 + x) % 1000000007) AS pid
+      |  FROM parts)
+      |SELECT DISTINCT a.pid AS src, b.pid AS dst
+      |FROM ids a JOIN ids b ON a.conv_id = b.conv_id AND a.pid < b.pid""".stripMargin
+
   /** Local clustering coefficient per vertex: 2·T(v) / (d(v)·(d(v)−1)). */
   val clusteringCoeff: String =
     s"""WITH $graphCtes,

@@ -123,6 +123,13 @@ object SparkEntry {
     "embed_lsh_topk" -> ((s, d) =>
       docs.Similarity.lshCosineTopK(Ingest.table(s, d, "embeddings"), dim = 64, k = 5,
         queryMod = 25, planes = 8)),
+    // scale path for embed_neardup_pairs: banded hyperplane buckets + exact verify;
+    // recall vs the brute anchor measured 0.983 at sf0.01 and asserted >= 0.9 in
+    // SimilaritySpec (threshold 0.4 sits at this corpus's cosine noise floor —
+    // the adversarial regime for LSH; see Similarity.lshNearDupPairs scaladoc)
+    "embed_neardup_pairs_lsh" -> ((s, d) =>
+      docs.Similarity.lshNearDupPairs(Ingest.table(s, d, "embeddings"), dim = 64,
+        threshold = 0.4, planes = 5, bands = 40)),
     // --- training-data pipeline: multimodal plumbing (decode is a marked stub) ---
     "multimodal_features" -> ((s, d) =>
       // features flattened to scalar f0..f7 (driver comparator can't hash array
@@ -137,9 +144,13 @@ object SparkEntry {
         docs.Multimodal.synthFromDocuments(Ingest.table(s, d, "documents")), 4)
         .select(col("doc_id"), col("mime"), col("frame_idx").cast("long").as("frame_idx"),
           length(col("frame")).cast("long").as("frame_bytes"))),
-    // --- non-SQL-expressible (rows-only check): transcript ingest path ----------
-    "transcript_edges" -> ((s, _) =>
-      Ingest.edgesFromTranscripts(Transcripts.synth(s, 200, 16).toDF())),
+    // --- transcript ingest path (north_star source), oracle-checked end-to-end
+    // over the parquet-rooted deterministic transcripts table; the xxhash64-id
+    // production variant of the same operator is exercised in IngestSpec goldens
+    "transcript_edges" -> ((s, d) =>
+      Ingest.edgesFromTranscripts(
+        Transcripts.fromDocuments(Ingest.table(s, d, "documents")),
+        Ingest.participantIdPortable)),
     "pagerank_converged" -> ((s, d) =>
       PageRank.run(canonical(s, d), maxIter = 100, tol = 1e-6)
         .select(col("v"), round(col("pr"), 6).as("pr")))
@@ -174,6 +185,7 @@ object SparkEntry {
     "multimodal_features" -> OracleSql.multimodalFeatures,
     "frame_sample" -> OracleSql.frameSample(4),
     "simhash64" -> OracleSql.simhash64,
-    "simhash_neardup_pairs" -> OracleSql.simhashNearDupPairs(8)
+    "simhash_neardup_pairs" -> OracleSql.simhashNearDupPairs(8),
+    "transcript_edges" -> OracleSql.transcriptEdges
   )
 }

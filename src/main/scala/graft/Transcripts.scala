@@ -62,6 +62,26 @@ object Transcripts {
       .as[Turn]
   }
 
+  /** Deterministic transcripts table derived from the driver's `documents` parquet
+    * (same input_hint shape as [[synth]]): doc i becomes turn (i div 40) of
+    * conversation (i mod 40), with 5 rotating roles and a skewed tool on every
+    * third turn. Exists so the full transcripts→edges ingest path has a
+    * parquet-rooted DuckDB oracle ([[OracleSql.transcriptEdges]]) — [[synth]]
+    * itself mixes through xxhash64, which has no DuckDB twin. */
+  def fromDocuments(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(
+      concat(lit("conv-"), pmod(col("doc_id"), lit(40L)).cast("string")).as("conv_id"),
+      floor(col("doc_id") / 40).cast("int").as("turn_idx"),
+      concat(lit("role-"),
+        pmod(floor(col("doc_id") / 40).cast("long"), lit(5L)).cast("string")).as("role"),
+      col("text"),
+      when(pmod(col("doc_id"), lit(3L)) === 0,
+        concat(lit("tool-"),
+          pmod(pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L), lit(1000000007L)),
+            lit(13L)).cast("string")))
+        .otherwise(lit(null).cast("string")).as("tool"),
+      timestamp_seconds(lit(epoch) + col("doc_id")).as("ts"))
+
   /** A transcripts table whose derived participant graph
     * ([[Ingest.edgesFromTranscripts]]) is isomorphic to the given edge list: one
     * two-turn conversation per edge, participants named `p<u>` / `p<v>` as roles.

@@ -46,18 +46,23 @@ object Similarity {
       .select(col("q_id"), col("nbr_id"), col("score"), col("rnk").cast("long").as("rnk"))
   }
 
-  /** `planes`-bit random-hyperplane signature of the array column named `embName`.
+  /** `count`-bit random-hyperplane signature over global plane indices
+    * [from, from+count): bit (b − from) is the sign of the projection onto plane b.
     * Hyperplane component (b, j) is ±1 by bit (j mod 32) of xxhash64(b, j div 32) —
-    * fully deterministic, no materialized hyperplane table. */
-  private def rhSignature(embName: String, dim: Int, planes: Int): Column =
+    * fully deterministic, no materialized hyperplane table. Distinct `from` ranges
+    * give independent plane sets (the banding primitive). */
+  private def rhSignatureRange(embName: String, dim: Int, from: Int, count: Int): Column =
     expr(
       s"""aggregate(
-         |  sequence(0, ${planes - 1}), cast(0 as bigint),
+         |  sequence($from, ${from + count - 1}), cast(0 as bigint),
          |  (acc, b) -> acc + if(
          |    aggregate(sequence(0, ${dim - 1}), cast(0.0 as double),
          |      (s, j) -> s + element_at($embName, j + 1) *
          |        if(((xxhash64(b, cast(j / 32 as int)) >> (j % 32)) & 1) = 1, 1.0, -1.0)) >= 0,
-         |    shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""".stripMargin)
+         |    shiftleft(cast(1 as bigint), b - $from), cast(0 as bigint)))""".stripMargin)
+
+  private def rhSignature(embName: String, dim: Int, planes: Int): Column =
+    rhSignatureRange(embName, dim, 0, planes)
 
   /** Embedding-cosine near-duplicate pairs: all (a < b) with cosine ≥ `threshold`.
     * Brute-force form (exact, oracle-checkable); at scale, bucket first with
@@ -68,6 +73,43 @@ object Similarity {
     val a = n.select(col("vec_id").as("a"), col("emb").as("ea"), col("nrm").as("na"))
     val b = n.select(col("vec_id").as("b"), col("emb").as("eb"), col("nrm").as("nb"))
     a.join(b, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("score"))
+      .where(col("score") >= threshold)
+  }
+
+  /** Approximate cosine near-duplicate pairs WITHOUT the all-pairs join — the
+    * 100 TB scale path beside the brute [[cosineNearDupPairs]] oracle anchor (same
+    * two-tier pattern as [[graft.docs.Dedup.minhashLshPairs]]).
+    *
+    * OR-amplified banded hyperplane LSH: `bands` independent `planes`-bit
+    * signatures per vector; vectors sharing ANY band bucket become a candidate
+    * pair; candidates get the exact cosine and the threshold filter. Recall for a
+    * pair at cosine s is 1 − (1 − p^planes)^bands with p = 1 − acos(s)/π — tune
+    * (planes, bands) to the threshold. Production near-dup thresholds (≥ 0.8)
+    * prune superlinearly (SimilaritySpec shows 100% recall at 0.9); the driver
+    * corpus's threshold 0.4 sits just above its cosine noise floor (q99.9 ≈ 0.38),
+    * the adversarial regime for any LSH — (5, 40) measures 0.983 recall there.
+    * Output (a, b, score) — a subset of the brute form's rows, never a superset. */
+  def lshNearDupPairs(
+      embeddings: DataFrame,
+      dim: Int,
+      threshold: Double,
+      planes: Int = 5,
+      bands: Int = 40): DataFrame = {
+    val n = normed(embeddings).persist() // banding pass + both verify sides
+    val banded = n.select(col("vec_id"),
+        posexplode(array((0 until bands).map(b =>
+          rhSignatureRange("emb", dim, b * planes, planes)): _*)))
+      .select(col("vec_id"), col("pos").as("band"), col("col").as("bv"))
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
+    cands
+      .join(n.select(col("vec_id").as("a"), col("emb").as("ea"), col("nrm").as("na")), "a")
+      .join(n.select(col("vec_id").as("b"), col("emb").as("eb"), col("nrm").as("nb")), "b")
       .select(col("a"), col("b"),
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("score"))
       .where(col("score") >= threshold)

@@ -156,6 +156,39 @@ class SimilaritySpec extends AnyFunSuite {
     val b = Similarity.bruteForceCosineTopK(embDF, 4, 25).collect().toSeq.map(_.toString).sorted
     assert(a === b)
   }
+
+  test("LSH near-dup pairs: 100% recall on a high-similarity corpus, no cartesian") {
+    // the favorable (production) regime: true near-dups at cosine ≥ ~0.95, noise
+    // pairs near-orthogonal — every dup pair must survive banding
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(5)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 40).map { i =>
+      val b = base(i % 5)
+      val v = b.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+      (i.toLong, v, i % 5)
+    }
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val brute = Similarity.cosineNearDupPairs(df, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    val lsh = Similarity.lshNearDupPairs(df, dim = 16, threshold = 0.9, planes = 8, bands = 16)
+    val got = lsh.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === brute, "high-similarity near-dups must all share a band bucket")
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("LSH near-dup pairs on the driver corpus: recall vs brute anchor >= 0.9 at threshold 0.4") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val brute = Similarity.cosineNearDupPairs(emb, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNearDupPairs(emb, dim = 64, threshold = 0.4, planes = 5, bands = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute), "verification is exact — LSH rows must be a subset")
+    val recall = lsh.size.toDouble / brute.size
+    info(f"lsh near-dup recall at sf0.01 threshold 0.4: ${recall}%.3f (${lsh.size}/${brute.size})")
+    assert(recall >= 0.9, f"recall $recall%.3f below floor on the driver corpus")
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
@@ -217,6 +250,33 @@ class BinaryIngestSpec extends AnyFunSuite {
     val p = writeBin("test_io_false.bin", Seq(0L, 1L, 1L, 2L, 7L))
     val edges = Ingest.edgesFromBinary(spark, p)
     assert(edges.count() === 2L)
+  }
+
+  test("range-split reader: multi-hundred-MB shard reads as parallel splits, exact content") {
+    // 200 MB single shard = 25M records (i, 2i+1): forces the reader to plan many
+    // record-aligned ranges of one file — the reference's big-kron workload shape
+    val m = 25L * 1000 * 1000
+    val dir = java.nio.file.Files.createTempDirectory("graft-bin-big")
+    val p = dir.resolve("big_shard.bin")
+    val ch = java.nio.channels.FileChannel.open(p,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    val batch = 1 << 20
+    var i = 0L
+    while (i < m) {
+      val n = math.min(batch.toLong, m - i).toInt
+      val buf = java.nio.ByteBuffer.allocate(n * 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var j = 0
+      while (j < n) { buf.putInt((i + j).toInt); buf.putInt((2 * (i + j) + 1).toInt); j += 1 }
+      buf.flip(); ch.write(buf); i += n
+    }
+    ch.close()
+    val df = Ingest.edgesFromBinary(spark, p.toString, splitBytes = 32L << 20)
+    assert(df.rdd.getNumPartitions > 1, "a single large file must split into parallel tasks")
+    val r = df.agg(count(lit(1)), sum(col("src")), sum(col("dst"))).collect().head
+    assert(r.getLong(0) === m)
+    assert(r.getLong(1) === m * (m - 1) / 2)         // Σ i
+    assert(r.getLong(2) === m * m)                   // Σ (2i+1)
+    java.nio.file.Files.delete(p); java.nio.file.Files.delete(dir)
   }
 
   test("uint32 ids above Int.MaxValue read as positive longs") {
