@@ -97,6 +97,44 @@ object GraphCore {
     canonical.unionAll(
       canonical.select(col("dst").as("src"), col("src").as("dst")))
 
+  /** CSR offsets + edge-count-balanced block assignment — the Spark analog of the
+    * reference's `get_split_v2` (TrCountingGraph.cpp:365-380: lower_bound over the
+    * CSR offsets array so every block holds ~equal EDGES, not equal vertices).
+    *
+    * offset(v) = Σ_{u<v} deg(u) via a genuinely distributed two-level scan:
+    *  1. vertices are bucketed by id range (order-preserving, ~`buckets` buckets);
+    *  2. a per-bucket window computes the local running sum in parallel;
+    *  3. the bucket totals (one row per bucket — tiny at any scale) get a global
+    *     running sum and are broadcast back.
+    * No single-partition pass ever sees the full vertex set — the only
+    * whole-dataset window is over the `buckets`-row totals table.
+    *
+    * block(v) = floor(offset·k / total): contiguous vertex ranges with ~total/k
+    * edges each. Output (v, deg, off, block). Requires non-negative vertex ids. */
+  def csrBlocks(adjacency: DataFrame, k: Int, buckets: Int = 1024): DataFrame = {
+    val stats = adjacency.agg(
+      max(col("v")).as("maxv"), sum(col("deg")).as("total"))
+    val b = adjacency
+      .crossJoin(broadcast(stats))
+      .withColumn("bkt", floor(col("v") / (col("maxv") / buckets + 1)).cast("long"))
+      .select(col("v"), col("deg"), col("total"), col("bkt"))
+    val byBktOrdered = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bkt")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val local = b.withColumn("loc", sum(col("deg")).over(byBktOrdered))
+    val bucketTotals = b.groupBy("bkt").agg(sum(col("deg")).as("bt"))
+    val allPrior = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bkt"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val bucketOffsets = bucketTotals
+      .select(col("bkt"), coalesce(sum(col("bt")).over(allPrior), lit(0L)).as("boff"))
+    local
+      .join(broadcast(bucketOffsets), "bkt")
+      .select(col("v"), col("deg"),
+        (col("boff") + col("loc") - col("deg")).as("off"),
+        floor((col("boff") + col("loc") - col("deg")) * k / col("total")).cast("long").as("block"))
+  }
+
   /** Per-partition CSR-style layout (north_star): adjacency rows range-partitioned
     * by vertex id and sorted within each partition, so each partition is a
     * contiguous, ordered CSR block — the Spark analog of the reference's

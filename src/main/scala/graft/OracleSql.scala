@@ -310,6 +310,22 @@ object OracleSql {
   val degreeHistogram: String =
     s"WITH $graphCtes SELECT deg, count(*) AS n_vertices FROM deg GROUP BY deg"
 
+  /** CSR offsets (exclusive prefix sum of oriented out-degree in vertex order) and
+    * edge-count-balanced block of `k` splits — get_split_v2 semantics. The engine
+    * computes the same numbers with a two-level distributed scan; the oracle's
+    * single sequential window is the semantic definition. */
+  def csrBlocks(k: Int): String =
+    s"""WITH $orientedCte,
+       |adj AS (SELECT src AS v, count(*) AS deg FROM oriented GROUP BY src),
+       |tot AS (SELECT CAST(sum(deg) AS BIGINT) AS total FROM adj),
+       |off AS (
+       |  SELECT v, deg,
+       |         CAST(sum(deg) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - deg AS BIGINT) AS off
+       |  FROM adj)
+       |SELECT off.v AS v, off.deg AS deg, off.off AS off,
+       |       CAST(floor(off.off * $k / tot.total) AS BIGINT) AS block
+       |FROM off, tot""".stripMargin
+
   def embedNearDupPairs(threshold: Double): String =
     s"""WITH n AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS emb,

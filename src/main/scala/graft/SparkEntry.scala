@@ -86,6 +86,10 @@ object SparkEntry {
     "degree_histogram" -> ((s, d) =>
       GraphCore.degrees(canonical(s, d))
         .groupBy("deg").agg(count(lit(1)).as("n_vertices"))),
+    // CSR offsets (distributed two-level prefix sum) + edge-balanced block split —
+    // the reference's get_split_v2 semantics, oracle-checked
+    "csr_blocks" -> ((s, d) =>
+      GraphCore.csrBlocks(GraphCore.adjacency(orientedOf(s, d)), k = 8)),
     // --- iterative kernels ------------------------------------------------------
     "connected_components" -> ((s, d) => Components.run(canonical(s, d))),
     "pagerank_10iter" -> ((s, d) =>
@@ -157,7 +161,21 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the same
-    * parquet tables. Omitted keys get a weaker rows-only check. */
+    * parquet tables. Omitted keys get a weaker rows-only check.
+    *
+    * Deliberately omitted (documented impossibility + stronger in-repo test):
+    *  - `pagerank_converged`: the stopping iteration is data-dependent and DuckDB
+    *    recursive CTEs cannot aggregate in the recursive term; differentially
+    *    tested against `fixedIterations` (stability under extra iterations,
+    *    Σpr = 1) in PageRankSpec.
+    *  - `minhash_lsh_pairs`: xxhash64 signatures have no DuckDB twin; candidate
+    *    recall and exact-jaccard values are differentially tested against the
+    *    oracled `ngram_jaccard_pairs` anchor in DedupSpec.
+    *  - `embed_lsh_topk` / `embed_neardup_pairs_lsh`: xxhash64-derived hyperplanes;
+    *    recall measured against the oracled brute-force anchors in SimilaritySpec
+    *    (1.0 at threshold 0.9; 0.983 on the sf0.01 corpus at 0.4).
+    *  - `frame_sample` HAS an oracle on frame lengths; the frame bytes themselves
+    *    are payload substrings by construction (MultimodalSpec slices them back). */
   def oracleSql: Map[String, String] = Map(
     "edges_events" -> OracleSql.edges,
     "degrees" -> OracleSql.degrees,
@@ -186,6 +204,7 @@ object SparkEntry {
     "frame_sample" -> OracleSql.frameSample(4),
     "simhash64" -> OracleSql.simhash64,
     "simhash_neardup_pairs" -> OracleSql.simhashNearDupPairs(8),
-    "transcript_edges" -> OracleSql.transcriptEdges
+    "transcript_edges" -> OracleSql.transcriptEdges,
+    "csr_blocks" -> OracleSql.csrBlocks(8)
   )
 }

@@ -53,6 +53,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("csrBlocks: distributed two-level scan equals sequential prefix sum; " +
+      "blocks edge-balanced (8 seeds)") {
+    cases(21 to 28).foreach { edges =>
+      val oriented = GraphCore.orientClean(edgeDF(edges))
+      val adj = GraphCore.adjacency(oriented)
+      val k = 4
+      val got = GraphCore.csrBlocks(adj, k, buckets = 3) // tiny buckets → multi-level path
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      // sequential golden
+      val rows = adj.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      var cum = 0L
+      val total = rows.map(_._2).sum
+      rows.zip(got).foreach { case ((v, deg), (gv, gdeg, goff, gblock)) =>
+        assert(gv === v && gdeg === deg && goff === cum)
+        assert(gblock === math.floor(cum.toDouble * k / total).toLong)
+        cum += deg
+      }
+      // every block's edge total is within one max-degree of total/k
+      val maxDeg = rows.map(_._2).max
+      val perBlock = got.groupBy(_._4).view.mapValues(_.map(_._2).sum)
+      perBlock.foreach { case (_, s) =>
+        assert(s <= total / k + maxDeg + 1, s"block too heavy: $s vs ${total / k}")
+      }
+    }
+  }
+
   test("orientation: bijective on cleaned edges, acyclic by (deg, id) order (8 seeds)") {
     cases(11 to 18).foreach { edges =>
       val canonical = GraphCore.clean(edgeDF(edges))
