@@ -112,9 +112,12 @@ object GraphCore {
     * block(v) = floor(offset·k / total): contiguous vertex ranges with ~total/k
     * edges each. Output (v, deg, off, block). Requires non-negative vertex ids. */
   def csrBlocks(adjacency: DataFrame, k: Int, buckets: Int = 1024): DataFrame = {
-    val stats = adjacency.agg(
+    // referenced three times (scalar stats, local scan, bucket totals) — persist
+    // so the upstream shuffle+collect runs once
+    val adj = adjacency.persist()
+    val stats = adj.agg(
       max(col("v")).as("maxv"), sum(col("deg")).as("total"))
-    val b = adjacency
+    val b = adj
       .crossJoin(broadcast(stats))
       .withColumn("bkt", floor(col("v") / (col("maxv") / buckets + 1)).cast("long"))
       .select(col("v"), col("deg"), col("total"), col("bkt"))

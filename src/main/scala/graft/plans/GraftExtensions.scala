@@ -1,0 +1,69 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.ArrayType
+
+import graft.expr.SortedIntersectCount
+
+/** Library installation point — the idiomatic way a Spark-native engine ships its
+  * Catalyst extensions (no per-query `register()` calls):
+  *
+  * {{{
+  *   spark.sql.extensions=graft.plans.GraftExtensions       // config, or
+  *   SparkSession.builder().withExtensions(new GraftExtensions) // programmatic
+  * }}}
+  *
+  * Installs:
+  *  - the [[graft.expr.SortedIntersectCount]] expression under
+  *    `sorted_intersect_count` in every session's function registry (usable from
+  *    SQL text and `call_function`);
+  *  - [[IntersectionNonEmptyToOverlap]], an optimizer rule that strength-reduces
+  *    full-intersection emptiness tests to short-circuiting overlap probes.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier(SortedIntersectCount.name),
+      new ExpressionInfo(classOf[SortedIntersectCount].getCanonicalName,
+        SortedIntersectCount.name),
+      (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
+    ext.injectOptimizerRule(_ => IntersectionNonEmptyToOverlap)
+  }
+}
+
+/** Rewrites `size(array_intersect(a, b)) > 0` to `arrays_overlap(a, b)` (and
+  * `size(...) <= 0` to its negation): `arrays_overlap` short-circuits on the first
+  * common element, while `array_intersect` materializes the full distinct
+  * intersection before the size test — on adjacency-sized arrays (O(√m) under the
+  * orientation invariant) that is the difference between a probe and a build.
+  *
+  * Guarded on `containsNull = false` element types: with null elements,
+  * `arrays_overlap` returns null where `size(...) > 0` returns false — the rewrite
+  * would change results. Null top-level arrays agree in both forms (null → null).
+  */
+object IntersectionNonEmptyToOverlap extends Rule[LogicalPlan] {
+
+  private def nonNullElems(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, containsNull) => !containsNull
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case GreaterThan(Size(ArrayIntersect(a, b), _), Literal(0, _))
+        if nonNullElems(a) && nonNullElems(b) =>
+      ArraysOverlap(a, b)
+    case LessThan(Literal(0, _), Size(ArrayIntersect(a, b), _))
+        if nonNullElems(a) && nonNullElems(b) =>
+      ArraysOverlap(a, b)
+    case LessThanOrEqual(Size(ArrayIntersect(a, b), _), Literal(0, _))
+        if nonNullElems(a) && nonNullElems(b) =>
+      Not(ArraysOverlap(a, b))
+    case EqualTo(Size(ArrayIntersect(a, b), _), Literal(0, _))
+        if nonNullElems(a) && nonNullElems(b) =>
+      Not(ArraysOverlap(a, b))
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.{GraftExtensions, IntersectionNonEmptyToOverlap}
+
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("overlap rule rewrites size(array_intersect) emptiness tests, results unchanged") {
+    val s = spark.newSession() // isolated sessionState → isolated optimizer
+    s.experimental.extraOptimizations = Seq(IntersectionNonEmptyToOverlap)
+    import s.implicits._
+    // parquet round-trip (a LocalRelation would be constant-folded straight through
+    // the filter), then arrays built from non-nullable expressions — parquet scans
+    // come back with containsNull=true, while real adjacency arrays
+    // (sort_array(collect_list)) are containsNull=false, the shape the rule targets
+    val dir = java.nio.file.Files.createTempDirectory("graft-ext").resolve("t.parquet")
+    Seq((1L, 2L), (3L, 4L), (5L, 5L)).toDF("x", "y")
+      .write.mode("overwrite").parquet(dir.toString)
+    val df = s.read.parquet(dir.toString)
+      .select(
+        array(coalesce($"x", lit(0L)), lit(2L)).as("a"),
+        array(coalesce($"y", lit(0L))).as("b"))
+    val q = df.where(size(array_intersect($"a", $"b")) > 0)
+    assert(q.queryExecution.optimizedPlan.toString.contains("arrays_overlap"),
+      s"rule must fire:\n${q.queryExecution.optimizedPlan}")
+    assert(q.count() === 2) // (1,2)∩(2) and (5,2)∩(5); (3,2)∩(4) empty
+    val qn = df.where(size(array_intersect($"a", $"b")) <= 0)
+    assert(qn.queryExecution.optimizedPlan.toString.contains("arrays_overlap"))
+    assert(qn.count() === 1)
+  }
+
+  test("overlap rule does NOT fire on nullable elements (null-vs-false semantics)") {
+    val s = spark.newSession()
+    s.experimental.extraOptimizations = Seq(IntersectionNonEmptyToOverlap)
+    import s.implicits._
+    val df = Seq((Seq(Option(1L), None), Seq(Option(1L)))).toDF("a", "b")
+    val q = df.where(size(array_intersect($"a", $"b")) > 0)
+    assert(!q.queryExecution.optimizedPlan.toString.contains("arrays_overlap"))
+    assert(q.count() === 1) // and the unrewritten form still evaluates correctly
+  }
+
+  test("GraftExtensions installs function + rule at session build (deployment path)") {
+    val prevA = SparkSession.getActiveSession
+    val prevD = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]").appName("graft-ext-test")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val c = s2.sql(
+        "SELECT sorted_intersect_count(array(1L, 2L, 3L), array(2L, 3L, 9L)) AS c")
+        .collect().head.getLong(0)
+      assert(c === 2L)
+      import s2.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-ext2").resolve("t.parquet")
+      Seq((1L, 1L)).toDF("x", "y").write.mode("overwrite").parquet(dir.toString)
+      val q = s2.read.parquet(dir.toString)
+        .select(array(coalesce($"x", lit(0L))).as("a"), array(coalesce($"y", lit(0L))).as("b"))
+        .where(size(array_intersect($"a", $"b")) > 0)
+      assert(q.queryExecution.optimizedPlan.toString.contains("arrays_overlap"))
+    } finally {
+      prevD.foreach(SparkSession.setDefaultSession)
+      prevA.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
