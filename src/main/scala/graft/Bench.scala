@@ -58,14 +58,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val names = if (args.nonEmpty) args.toSeq else headline // ad-hoc timing of any query set
     val spark = session(cpus)
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the JVM/codegen on the smallest table so the first timed query does
     // not pay one-time session costs.
     try materialize(spark.read.parquet(s"$sfDir/region.parquet"))
     catch { case _: Throwable => }
-    val results = run(spark, sfDir, headline)
-    val qs = headline.filter(results.contains)
+    val results = run(spark, sfDir, names)
+    val qs = names.filter(results.contains)
       .map(k => "\"" + k + "\":" + f"${results(k)}%.3f").mkString("{", ",", "}")
     val total = results.values.sum
     val line =

