@@ -376,6 +376,70 @@ object OracleSql {
        |       CAST(greatest(least(flen, len - flen * u), 0) AS BIGINT) AS frame_bytes
        |FROM f, unnest(range(0, $n)) AS t(u)""".stripMargin
 
+  /** Twin of [[graft.docs.Similarity.lshCosineTopK]]: the hyperplane matrix is the
+    * SAME ±1 literal table the Spark side ships (generated from one source,
+    * [[graft.docs.Similarity.planeSign]] — no drift possible), and both engines
+    * fold the projection sequentially from 0.0, so the bucket bits are
+    * bit-identical. */
+  def embedLshTopK(dim: Int, k: Int, queryMod: Int, planes: Int): String = {
+    val h = (0 until planes).flatMap(b => (0 until dim).map(j =>
+      graft.docs.Similarity.planeSign(b, j))).mkString("[", ", ", "]")
+    s"""WITH m AS (SELECT $h::DOUBLE[] AS h),
+       |n AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings
+       |  WHERE sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0),
+       |sig AS (
+       |  SELECT vec_id, emb, nrm,
+       |         CAST(list_reduce(list_prepend(0::BIGINT, list_transform(range(0, $planes), b ->
+       |           CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(0, $dim), j ->
+       |                  emb[j + 1] * m.h[b * $dim + j + 1])), (a, x) -> a + x) >= 0
+       |                THEN (1::BIGINT << b) ELSE 0::BIGINT END)), (a, x) -> a + x) AS BIGINT) AS bucket
+       |  FROM n, m),
+       |q AS (SELECT vec_id AS q_id, emb AS qe, nrm AS qn, bucket
+       |      FROM sig WHERE vec_id % $queryMod = 0),
+       |s AS (
+       |  SELECT q.q_id, sig.vec_id AS nbr_id,
+       |         round(list_dot_product(q.qe, sig.emb) / (q.qn * sig.nrm), 6) AS score
+       |  FROM q JOIN sig ON sig.bucket = q.bucket AND sig.vec_id <> q.q_id),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, nbr_id ASC) AS rnk
+       |  FROM s)
+       |SELECT q_id, nbr_id, score, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= $k""".stripMargin
+  }
+
+  /** Twin of [[graft.docs.Similarity.lshNearDupPairs]] — full banded pipeline
+    * (candidates from any shared (band, bucket), exact cosine verify), same
+    * literal ±1 plane matrix as the engine. */
+  def embedLshNearDupPairs(dim: Int, threshold: Double, planes: Int, bands: Int): String = {
+    val h = (0 until bands * planes).flatMap(b => (0 until dim).map(j =>
+      graft.docs.Similarity.planeSign(b, j))).mkString("[", ", ", "]")
+    s"""WITH m AS (SELECT $h::DOUBLE[] AS h),
+       |n AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings
+       |  WHERE sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0),
+       |banded AS (
+       |  SELECT vec_id, band,
+       |         CAST(list_reduce(list_prepend(0::BIGINT, list_transform(range(0, $planes), p ->
+       |           CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(0, $dim), j ->
+       |                  emb[j + 1] * m.h[(band * $planes + p) * $dim + j + 1])), (a, x) -> a + x) >= 0
+       |                THEN (1::BIGINT << p) ELSE 0::BIGINT END)), (a, x) -> a + x) AS BIGINT) AS bv
+       |  FROM n, m, (SELECT unnest(range(0, $bands)) AS band) b),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id)
+       |SELECT cand.a, cand.b,
+       |       round(list_dot_product(na.emb, nb.emb) / (na.nrm * nb.nrm), 6) AS score
+       |FROM cand
+       |JOIN n na ON na.vec_id = cand.a
+       |JOIN n nb ON nb.vec_id = cand.b
+       |WHERE round(list_dot_product(na.emb, nb.emb) / (na.nrm * nb.nrm), 6) >= $threshold""".stripMargin
+  }
+
   def embedCosineTopK(k: Int, queryMod: Int): String =
     s"""WITH n AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS emb,

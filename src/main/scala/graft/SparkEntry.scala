@@ -168,14 +168,14 @@ object SparkEntry {
     *    recursive CTEs cannot aggregate in the recursive term; differentially
     *    tested against `fixedIterations` (stability under extra iterations,
     *    Σpr = 1) in PageRankSpec.
-    *  - `minhash_lsh_pairs`: xxhash64 signatures have no DuckDB twin; candidate
-    *    recall and exact-jaccard values are differentially tested against the
-    *    oracled `ngram_jaccard_pairs` anchor in DedupSpec.
-    *  - `embed_lsh_topk` / `embed_neardup_pairs_lsh`: xxhash64-derived hyperplanes;
-    *    recall measured against the oracled brute-force anchors in SimilaritySpec
-    *    (1.0 at threshold 0.9; 1.000 on the sf0.01 corpus at 0.4).
-    *  - `frame_sample` HAS an oracle on frame lengths; the frame bytes themselves
-    *    are payload substrings by construction (MultimodalSpec slices them back). */
+    *  - `minhash_lsh_pairs`: per-shingle xxhash64 signatures have no DuckDB twin
+    *    (unlike the hyperplane LSH queries, whose plane matrix is a finite literal
+    *    both engines share); candidate recall and exact-jaccard values are
+    *    differentially tested against the oracled `ngram_jaccard_pairs` anchor in
+    *    DedupSpec.
+    *
+    * `frame_sample`'s oracle checks frame lengths; the frame bytes themselves are
+    * payload substrings by construction (MultimodalSpec slices them back). */
   def oracleSql: Map[String, String] = Map(
     "edges_events" -> OracleSql.edges,
     "degrees" -> OracleSql.degrees,
@@ -205,6 +205,8 @@ object SparkEntry {
     "simhash64" -> OracleSql.simhash64,
     "simhash_neardup_pairs" -> OracleSql.simhashNearDupPairs(8),
     "transcript_edges" -> OracleSql.transcriptEdges,
-    "csr_blocks" -> OracleSql.csrBlocks(8)
+    "csr_blocks" -> OracleSql.csrBlocks(8),
+    "embed_lsh_topk" -> OracleSql.embedLshTopK(64, 5, 25, 8),
+    "embed_neardup_pairs_lsh" -> OracleSql.embedLshNearDupPairs(64, 0.4, 5, 40)
   )
 }

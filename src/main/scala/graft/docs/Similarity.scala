@@ -53,7 +53,7 @@ object Similarity {
     * higher-order fold was the dominant cost of the LSH queries (22 s → ~1 s at
     * sf0.1). At cluster scale this is "broadcast the plane matrix", the standard
     * shape for random-projection LSH. */
-  private def planeSign(b: Int, j: Int): Double = {
+  private[graft] def planeSign(b: Int, j: Int): Double = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     val h = XxHash64(Seq(Literal(b.toLong), Literal(j / 32)), 42L)
       .eval(null).asInstanceOf[Long]
