@@ -61,7 +61,7 @@ object PageRank {
       case None => (0, verts.select(col("v"), lit(1.0 / n).as("pr")))
     }
 
-    var ranks = startRanks.localCheckpoint(true)
+    var ranks = startRanks.localCheckpoint(false)
     var iter = startIter
     var converged = false
     while (iter < maxIter && !converged) {
@@ -74,7 +74,11 @@ object PageRank {
         .join(contribs, Seq("v"), "left")
         .select(col("v"),
           (lit(base) + lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))
-        .localCheckpoint(true)
+        // LAZY checkpoint: in tol mode the convergence delta action materializes
+        // it in the same job; in fixed-iteration mode all iterations pipeline into
+        // the final action as one job instead of one eager job per iteration —
+        // lineage still truncates at each checkpoint once materialized
+        .localCheckpoint(false)
       tol.foreach { t =>
         val delta = next
           .join(ranks.withColumnRenamed("pr", "pr_old"), "v")
