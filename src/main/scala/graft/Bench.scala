@@ -52,6 +52,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the library's own deployment path: custom expression + optimizer rule
+      // installed at session build (see plans.GraftExtensions)
+      .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
   }
 

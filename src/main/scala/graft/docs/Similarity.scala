@@ -26,8 +26,13 @@ object Similarity {
       .withColumn("nrm", sqrt(aggregate(col("emb"), lit(0.0), (a, x) => a + x * x)))
       .where(col("nrm") > 0)
 
+  /** Sequential-fold dot product (same accumulation order as the zip_with form
+    * and DuckDB's list folds — identical doubles) without materializing the
+    * product array per pair: the exact-verify stages evaluate this once per
+    * candidate pair, where the intermediate alloc was measurable. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    aggregate(sequence(lit(0), size(a) - 1), lit(0.0),
+      (s, j) => s + element_at(a, j.cast("int") + 1) * element_at(b, j.cast("int") + 1))
 
   /** Exact cosine top-k for every query vector (`vec_id % queryMod == 0`), self
     * excluded. Output (q_id, nbr_id, score, rnk), score rounded to 6, rnk 1..k with

@@ -9,6 +9,11 @@ import graft.plans.{GraftExtensions, IntersectionNonEmptyToOverlap}
 class ExtensionsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("driver contract: every oracleSql key has a registered query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
+  }
+
   test("overlap rule rewrites size(array_intersect) emptiness tests, results unchanged") {
     val s = spark.newSession() // isolated sessionState → isolated optimizer
     s.experimental.extraOptimizations = Seq(IntersectionNonEmptyToOverlap)
