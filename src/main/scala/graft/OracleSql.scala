@@ -440,6 +440,46 @@ object OracleSql {
        |WHERE round(list_dot_product(na.emb, nb.emb) / (na.nrm * nb.nrm), 6) >= $threshold""".stripMargin
   }
 
+  /** Twin of [[graft.docs.Similarity.ivfCosineTopK]]. The centroid assignment
+    * compares UNROUNDED cosines, so every float op mirrors the Spark side's
+    * sequential folds bit-for-bit (list_reduce over list_transform = the same
+    * IEEE add sequence as Spark's aggregate fold) — argmax ties then break on
+    * centroid id in both engines. */
+  def embedIvfTopK(dim: Int, k: Int, queryMod: Int, centMod: Int, nProbe: Int): String = {
+    def dotseq(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(0, $dim), j -> $a[j + 1] * $b[j + 1])), (s, x) -> s + x)"
+    s"""WITH n0 AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+       |         sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+       |           list_transform(embedding::DOUBLE[], x -> x * x)), (a, x) -> a + x)) AS nrm
+       |  FROM embeddings),
+       |n AS (SELECT * FROM n0 WHERE nrm > 0),
+       |cents AS (SELECT vec_id AS c_id, emb AS ce, nrm AS cn FROM n WHERE vec_id % $centMod = 0),
+       |assigned AS (
+       |  SELECT vec_id, emb, nrm, c_id FROM (
+       |    SELECT n.vec_id, n.emb, n.nrm, c.c_id,
+       |           row_number() OVER (PARTITION BY n.vec_id
+       |             ORDER BY ${dotseq("n.emb", "c.ce")} / (n.nrm * c.cn) DESC, c.c_id ASC) AS rn
+       |    FROM n, cents c) t
+       |  WHERE rn = 1),
+       |probed AS (
+       |  SELECT q_id, qe, qn, c_id FROM (
+       |    SELECT n.vec_id AS q_id, n.emb AS qe, n.nrm AS qn, c.c_id,
+       |           row_number() OVER (PARTITION BY n.vec_id
+       |             ORDER BY ${dotseq("n.emb", "c.ce")} / (n.nrm * c.cn) DESC, c.c_id ASC) AS rn
+       |    FROM n, cents c WHERE n.vec_id % $queryMod = 0) t
+       |  WHERE rn <= $nProbe),
+       |s AS (
+       |  SELECT probed.q_id, assigned.vec_id AS nbr_id,
+       |         round(${dotseq("probed.qe", "assigned.emb")} / (probed.qn * assigned.nrm), 6) AS score
+       |  FROM probed JOIN assigned
+       |    ON assigned.c_id = probed.c_id AND assigned.vec_id <> probed.q_id),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, nbr_id ASC) AS rnk
+       |  FROM s)
+       |SELECT q_id, nbr_id, score, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= $k""".stripMargin
+  }
+
   def embedCosineTopK(k: Int, queryMod: Int): String =
     s"""WITH n AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS emb,

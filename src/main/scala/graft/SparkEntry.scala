@@ -90,6 +90,13 @@ object SparkEntry {
     // the reference's get_split_v2 semantics, oracle-checked
     "csr_blocks" -> ((s, d) =>
       GraphCore.csrBlocks(GraphCore.adjacency(orientedOf(s, d)), k = 8)),
+    // same rows as adjacency_csv but routed through the physical CSR block layout
+    // (range-partitioned by v, sorted within partitions) — exercises the layout
+    // operator in a value-checked query; boundaries are sampled, rows are not
+    "adjacency_csr_layout" -> ((s, d) =>
+      GraphCore.csrPartitioned(GraphCore.adjacency(orientedOf(s, d)), 8)
+        .select(col("v"), col("deg"),
+          concat_ws(",", transform(col("nbrs"), _.cast("string"))).as("nbrs_csv"))),
     // --- iterative kernels ------------------------------------------------------
     "connected_components" -> ((s, d) => Components.run(canonical(s, d))),
     "pagerank_10iter" -> ((s, d) =>
@@ -134,6 +141,11 @@ object SparkEntry {
     "embed_neardup_pairs_lsh" -> ((s, d) =>
       docs.Similarity.lshNearDupPairs(Ingest.table(s, d, "embeddings"), dim = 64,
         threshold = 0.4, planes = 5, bands = 40)),
+    // IVF: the data-adaptive ANN scale path (centroid inverted lists + nProbe),
+    // deterministic end-to-end and hence fully oracle-checked
+    "embed_ivf_topk" -> ((s, d) =>
+      docs.Similarity.ivfCosineTopK(Ingest.table(s, d, "embeddings"), k = 5,
+        queryMod = 25, centMod = 50, nProbe = 2)),
     // --- training-data pipeline: multimodal plumbing (decode is a marked stub) ---
     "multimodal_features" -> ((s, d) =>
       // features flattened to scalar f0..f7 (driver comparator can't hash array
@@ -181,6 +193,7 @@ object SparkEntry {
     "degrees" -> OracleSql.degrees,
     "oriented_edges" -> OracleSql.oriented,
     "adjacency_csv" -> OracleSql.adjacencyCsv,
+    "adjacency_csr_layout" -> OracleSql.adjacencyCsv,
     "triangles_global" -> OracleSql.trianglesGlobal,
     "triangles_adj_global" -> OracleSql.trianglesGlobal,
     "triangles_per_vertex" -> OracleSql.trianglesPerVertex,
@@ -207,6 +220,7 @@ object SparkEntry {
     "transcript_edges" -> OracleSql.transcriptEdges,
     "csr_blocks" -> OracleSql.csrBlocks(8),
     "embed_lsh_topk" -> OracleSql.embedLshTopK(64, 5, 25, 8),
-    "embed_neardup_pairs_lsh" -> OracleSql.embedLshNearDupPairs(64, 0.4, 5, 40)
+    "embed_neardup_pairs_lsh" -> OracleSql.embedLshNearDupPairs(64, 0.4, 5, 40),
+    "embed_ivf_topk" -> OracleSql.embedIvfTopK(64, 5, 25, 50, 2)
   )
 }

@@ -137,6 +137,55 @@ object Similarity {
       .where(col("score") >= threshold)
   }
 
+  /** IVF (inverted-file) approximate cosine top-k — the data-adaptive scale path
+    * beside hyperplane LSH. Coarse centroids are every `centMod`-th vector
+    * (deterministic data rows, no training step); every vector is assigned to its
+    * best centroid via one broadcast join (building the "inverted lists" — the
+    * assignment shuffle is the IVF index build); queries probe their `nProbe`
+    * best centroids and scan only those lists, so scanned volume is
+    * ≈ nProbe/|cents| of the corpus instead of all of it.
+    *
+    * Fully deterministic: argmax by (cosine desc, centroid id asc), cosines
+    * computed with the same sequential fold in both engines — so unlike most ANN
+    * indexes this one is DuckDB-oracle-checkable bit-for-bit. Output shape of
+    * [[bruteForceCosineTopK]]; recall < 1 by construction (measured in
+    * SimilaritySpec against the brute anchor). */
+  def ivfCosineTopK(
+      embeddings: DataFrame,
+      k: Int = 5,
+      queryMod: Int = 25,
+      centMod: Int = 50,
+      nProbe: Int = 2): DataFrame = {
+    val n = normed(embeddings).persist() // corpus, centroid, and query views
+    val cents = n.where(pmod(col("vec_id"), lit(centMod)) === 0)
+      .select(col("vec_id").as("c_id"), col("emb").as("ce"), col("nrm").as("cn"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("c_id").asc)
+    val assigned = n.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("emb"), col("nrm"), col("c_id"),
+        (dot(col("emb"), col("ce")) / (col("nrm") * col("cn"))).as("cs"))
+      .withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("emb"), col("nrm"), col("c_id"))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cs").desc, col("c_id").asc)
+    val probed = n.where(pmod(col("vec_id"), lit(queryMod)) === 0)
+      .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("nrm").as("qn"))
+      .crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qe"), col("qn"), col("c_id"),
+        (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cs"))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= nProbe)
+      .select(col("q_id"), col("qe"), col("qn"), col("c_id"))
+    val scored = probed.join(assigned, "c_id")
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nbr_id"),
+        round(dot(col("qe"), col("emb")) / (col("qn") * col("nrm")), 6).as("score"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("nbr_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("nbr_id"), col("score"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** Approximate cosine top-k via hyperplane buckets. Same output shape as
     * [[bruteForceCosineTopK]]; recall < 1 by construction. */
   def lshCosineTopK(

@@ -178,6 +178,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("IVF top-k on the driver corpus: deterministic, recall vs brute measured") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val brute = Similarity.bruteForceCosineTopK(emb, k = 5, queryMod = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfCosineTopK(emb, k = 5, queryMod = 25, centMod = 50, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & brute).size.toDouble / brute.size
+    info(f"ivf top-k recall at sf0.01 (10 centroids, nProbe 2): $recall%.3f")
+    assert(recall >= 0.5, f"IVF recall $recall%.3f collapsed — probe/centroid params broken")
+    // determinism across runs (argmax tie-break is total)
+    val again = Similarity.ivfCosineTopK(emb, k = 5, queryMod = 25, centMod = 50, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === ivf)
+  }
+
   test("LSH near-dup pairs on the driver corpus: recall vs brute anchor >= 0.9 at threshold 0.4") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val brute = Similarity.cosineNearDupPairs(emb, threshold = 0.4)
