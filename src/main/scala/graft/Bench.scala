@@ -38,7 +38,11 @@ object Bench {
         val t0 = System.nanoTime()
         try materialize(fn(spark, sfDir))
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-        name -> (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        // drop the query's operator-internal caches (shingle sets, normalized
+        // embeddings, …); the memoized shared edge tables stay
+        CacheTracker.release(spark)
+        name -> sec
       }
     }.toMap
 

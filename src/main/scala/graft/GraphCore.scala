@@ -114,7 +114,7 @@ object GraphCore {
   def csrBlocks(adjacency: DataFrame, k: Int, buckets: Int = 1024): DataFrame = {
     // referenced three times (scalar stats, local scan, bucket totals) — persist
     // so the upstream shuffle+collect runs once
-    val adj = adjacency.persist()
+    val adj = CacheTracker.persist(adjacency)
     val stats = adj.agg(
       max(col("v")).as("maxv"), sum(col("deg")).as("total"))
     val b = adj

@@ -60,7 +60,7 @@ object SparkEntry {
     "triangles_adj_global" -> ((s, d) => {
       val o = orientedOf(s, d)
       // adjacency persisted: referenced by both join sides of the intersect plan
-      TriangleCount.globalAdjacency(s, o, GraphCore.adjacency(o).persist())
+      TriangleCount.globalAdjacency(s, o, CacheTracker.persist(GraphCore.adjacency(o)))
     }),
     "triangles_per_vertex" -> ((s, d) =>
       // uses the memoized persisted orientation: trianglesRelational references it

@@ -72,7 +72,7 @@ object TriangleCount {
       .select(col("src"), col("dst"),
         array_intersect(col("nbrs_u"), col("nbrs_v")).as("ws"))
       .where(size(col("ws")) > 0)
-      .persist()
+      .transform(graft.CacheTracker.persist)
     val endpointCredits = withW
       .select(col("src").as("v"), size(col("ws")).cast("long").as("c"))
       .unionAll(withW.select(col("dst").as("v"), size(col("ws")).cast("long").as("c")))

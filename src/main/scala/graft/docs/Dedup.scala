@@ -57,7 +57,7 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, k: Int = 5, threshold: Double = 0.35): DataFrame = {
     // persisted: referenced three times (both self-join sides + sizes) — without it
     // the shingle explode runs three times per query
-    val sh = shingles(docs, k).persist()
+    val sh = graft.CacheTracker.persist(shingles(docs, k))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("x").join(sh.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
@@ -122,7 +122,7 @@ object Dedup {
     require(perms % bands == 0, "bands must divide perms")
     val rows = perms / bands
     graft.expr.SortedIntersectCount.register(docs.sparkSession)
-    val sets = shingleSets(docs, k).persist()
+    val sets = graft.CacheTracker.persist(shingleSets(docs, k))
     val banded = minhashSignaturesFromSets(sets, perms)
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
@@ -196,7 +196,7 @@ object Dedup {
     val base = 64 / nBands
     val widths = Seq.tabulate(nBands)(j => if (j < 64 % nBands) base + 1 else base)
     val lows = widths.scanLeft(0)(_ + _).init
-    val h = simhash(docs).persist() // both sides of the candidate self-join
+    val h = graft.CacheTracker.persist(simhash(docs)) // both sides of the candidate self-join
     val bandCols = (0 until nBands).map { j =>
       // mask after the arithmetic shift → exact logical band extraction, sign-safe
       struct(lit(j).as("band"),
@@ -217,7 +217,7 @@ object Dedup {
   /** Brute-force twin of [[simhashNearDupPairs]] — the O(n²) correctness anchor,
     * for differential tests only (never registered as a scale path). */
   private[graft] def simhashNearDupPairsBrute(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
-    val h = simhash(docs).persist()
+    val h = graft.CacheTracker.persist(simhash(docs))
     val a = h.select(col("doc_id").as("a"), col("simhash").as("ha"))
     val b = h.select(col("doc_id").as("b"), col("simhash").as("hb"))
     a.join(b, col("a") < col("b"))

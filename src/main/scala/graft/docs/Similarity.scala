@@ -119,7 +119,7 @@ object Similarity {
       threshold: Double,
       planes: Int = 5,
       bands: Int = 40): DataFrame = {
-    val n = normed(embeddings).persist() // banding pass + both verify sides
+    val n = graft.CacheTracker.persist(normed(embeddings)) // banding pass + both verify sides
     val banded = n.select(col("vec_id"),
         posexplode(array((0 until bands).map(b =>
           rhSignatureRange("emb", dim, b * planes, planes)): _*)))
@@ -156,7 +156,7 @@ object Similarity {
       queryMod: Int = 25,
       centMod: Int = 50,
       nProbe: Int = 2): DataFrame = {
-    val n = normed(embeddings).persist() // corpus, centroid, and query views
+    val n = graft.CacheTracker.persist(normed(embeddings)) // corpus, centroid, and query views
     val cents = n.where(pmod(col("vec_id"), lit(centMod)) === 0)
       .select(col("vec_id").as("c_id"), col("emb").as("ce"), col("nrm").as("cn"))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("c_id").asc)

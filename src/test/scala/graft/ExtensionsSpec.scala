@@ -14,6 +14,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
   }
 
+  test("CacheTracker: operator-internal persists are released per session") {
+    import spark.implicits._
+    val docs = Seq(0L -> "alpha beta gamma delta epsilon", 1L -> "alpha beta gamma delta zeta")
+      .toDF("doc_id", "text")
+    graft.docs.Dedup.minhashLshPairs(docs, k = 3, threshold = 0.1).collect()
+    assert(CacheTracker.trackedCount(spark) > 0, "operator must have tracked a persist")
+    CacheTracker.release(spark)
+    assert(CacheTracker.trackedCount(spark) === 0)
+  }
+
   test("overlap rule rewrites size(array_intersect) emptiness tests, results unchanged") {
     val s = spark.newSession() // isolated sessionState → isolated optimizer
     s.experimental.extraOptimizations = Seq(IntersectionNonEmptyToOverlap)
