@@ -310,6 +310,36 @@ object OracleSql {
   val degreeHistogram: String =
     s"WITH $graphCtes SELECT deg, count(*) AS n_vertices FROM deg GROUP BY deg"
 
+  /** Global clustering coefficient (transitivity): 3·T / Σ C(deg, 2). */
+  val transitivity: String =
+    s"""WITH $graphCtes,
+       |t AS (
+       |  SELECT count(*) AS triangles
+       |  FROM e e1
+       |  JOIN e e2 ON e2.src = e1.dst
+       |  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+       |w AS (SELECT CAST(sum(deg * (deg - 1)) / 2 AS BIGINT) AS wedges FROM deg)
+       |SELECT round(3.0 * t.triangles / w.wedges, 6) AS transitivity,
+       |       t.triangles, w.wedges
+       |FROM t, w""".stripMargin
+
+  /** End-to-end cleaning-pipeline stats: composes the [[dedupExact]],
+    * [[qualityScore]] and [[langId]] oracles as subqueries (one source of truth
+    * per stage — no duplicated SQL to drift). */
+  val corpusCleanStats: String =
+    s"""WITH dd AS ($dedupExact),
+       |qq AS ($qualityScore),
+       |ll AS ($langId)
+       |SELECT ll.lang_pred,
+       |       count(*) AS n_docs,
+       |       CAST(sum(qq.n_tokens) AS BIGINT) AS total_tokens,
+       |       round(sum(qq.quality), 4) AS sum_quality
+       |FROM dd
+       |JOIN qq ON qq.doc_id = dd.doc_id
+       |JOIN ll ON ll.doc_id = dd.doc_id
+       |WHERE NOT dd.is_dup AND qq.quality >= 0.5
+       |GROUP BY ll.lang_pred""".stripMargin
+
   /** CSR offsets (exclusive prefix sum of oriented out-degree in vertex order) and
     * edge-count-balanced block of `k` splits — get_split_v2 semantics. The engine
     * computes the same numbers with a two-level distributed scan; the oracle's

@@ -86,6 +86,16 @@ object SparkEntry {
     "degree_histogram" -> ((s, d) =>
       GraphCore.degrees(canonical(s, d))
         .groupBy("deg").agg(count(lit(1)).as("n_vertices"))),
+    // global clustering coefficient: 3·triangles / wedges (wedges = Σ C(deg,2))
+    "transitivity" -> ((s, d) => {
+      val wedges = GraphCore.degrees(canonical(s, d))
+        .agg((sum(col("deg") * (col("deg") - lit(1))) / lit(2)).cast("long").as("wedges"))
+      TriangleCount.globalRelational(orientedOf(s, d))
+        .crossJoin(wedges)
+        .select(
+          round(lit(3.0) * col("triangles") / col("wedges"), 6).as("transitivity"),
+          col("triangles"), col("wedges"))
+    }),
     // CSR offsets (distributed two-level prefix sum) + edge-balanced block split —
     // the reference's get_split_v2 semantics, oracle-checked
     "csr_blocks" -> ((s, d) =>
@@ -146,6 +156,23 @@ object SparkEntry {
     "embed_ivf_topk" -> ((s, d) =>
       docs.Similarity.ivfCosineTopK(Ingest.table(s, d, "embeddings"), k = 5,
         queryMod = 25, centMod = 50, nProbe = 2)),
+    // end-to-end cleaning pipeline (the composability story): exact-dedup keep
+    // canonicals → quality floor → per-language corpus stats. Float-safe output:
+    // the quality sum is rounded at 1e-4 (well above any summation-order ulps)
+    "corpus_clean_stats" -> ((s, d) => {
+      val docsT = Ingest.table(s, d, "documents")
+      val keep = docs.Dedup.exact(docsT).where(!col("is_dup")).select("doc_id")
+      val q = docs.TextOps.qualityScore(docsT)
+        .where(col("quality") >= 0.5)
+        .select(col("doc_id"), col("quality"), col("n_tokens"))
+      val l = docs.TextOps.langId(docsT).select(col("doc_id"), col("lang_pred"))
+      keep.join(q, "doc_id").join(l, "doc_id")
+        .groupBy("lang_pred")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          round(sum(col("quality")), 4).as("sum_quality"))
+    }),
     // --- training-data pipeline: multimodal plumbing (decode is a marked stub) ---
     "multimodal_features" -> ((s, d) =>
       // features flattened to scalar f0..f7 (driver comparator can't hash array
@@ -221,6 +248,8 @@ object SparkEntry {
     "csr_blocks" -> OracleSql.csrBlocks(8),
     "embed_lsh_topk" -> OracleSql.embedLshTopK(64, 5, 25, 8),
     "embed_neardup_pairs_lsh" -> OracleSql.embedLshNearDupPairs(64, 0.4, 5, 40),
-    "embed_ivf_topk" -> OracleSql.embedIvfTopK(64, 5, 25, 50, 2)
+    "embed_ivf_topk" -> OracleSql.embedIvfTopK(64, 5, 25, 50, 2),
+    "transitivity" -> OracleSql.transitivity,
+    "corpus_clean_stats" -> OracleSql.corpusCleanStats
   )
 }
