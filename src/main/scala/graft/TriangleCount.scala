@@ -18,15 +18,18 @@ import graft.expr.SortedIntersectCount
   *    invariant (out-degree ≤ O(√m), report.md:9) → O(m^1.5) worst-case work, the
   *    same bound as the reference kernel.
   *
-  *  - [[globalAdjacency]]: the reference's actual physical shape — join the oriented
-  *    edge table to the CSR-style adjacency (once on src, once on dst) and run the
+  *  - [[globalAdjacency]]: the reference's actual physical shape — the CSR-style
+  *    adjacency is BROADCAST (every reference rank holds the full graph), the
+  *    oriented edge stream hash-probes it twice (src and dst sides) and runs the
   *    two-pointer sorted merge ([[graft.expr.SortedIntersectCount]], a codegen'd
-  *    Catalyst expression) per edge, then one partial+final sum (the Spark analog of
-  *    OpenMP `reduction(+:sum)` at TrCountingGraph.cpp:389 and
-  *    `thrust::reduce` at gpu-thrust.cu:24-27). This moves one array per edge
-  *    through the shuffle instead of one row per wedge — at 100 TB the wedge
-  *    materialization of the relational form is the bottleneck, the adjacency form
-  *    shuffles only O(m) rows with O(√m)-bounded payloads.
+  *    Catalyst expression) per edge inside the same stage, then one partial+final
+  *    sum (the Spark analog of OpenMP `reduction(+:sum)` at
+  *    TrCountingGraph.cpp:389 and `thrust::reduce` at gpu-thrust.cu:24-27).
+  *    Neighbor arrays never enter a shuffle or sort — the round-1 shuffled-join
+  *    variant shipped BOTH arrays with every edge row and spilled ~0.3 TB on a
+  *    32M-edge input. When the adjacency exceeds executor memory
+  *    (`broadcastAdj = false` escape hatch), shard the edge set and broadcast per
+  *    shard — the reference's multi-GPU chunk split (main.cpp:87-120).
   */
 object TriangleCount {
 
