@@ -85,17 +85,31 @@ object Dedup {
 
   /** MinHash signatures from a [[shingleSets]] table: `perms` permutation-min
     * hashes per document. h_i(s) = (a_i·(x mod p) + b_i) mod p, a_i = 2i+1 odd,
-    * p = 1e9+7 (keeps a_i·x ≪ 2^63 — no ANSI overflow).
+    * b_i = xxhash64(i) mod p, p = 1e9+7 (keeps a_i·x ≪ 2^63 — no ANSI overflow).
     * Output (doc_id, sig: array<long> of length `perms`).
     *
-    * The perms×shingles fold runs entirely inside codegen via nested higher-order
-    * functions — no shingles×perms row explosion. */
+    * Fold shape matters (interpreted higher-order functions): element-major over
+    * a once-per-row pre-reduced `pmod(x, p)` array, with the permutation offsets
+    * b_i evaluated ONCE on the driver (same Catalyst xxhash64, identical values)
+    * and shipped as a constant-folded literal — the permutation-major form
+    * re-evaluated `xxhash64(i)` and `pmod(x, p)` per (element × permutation),
+    * dominating the LSH pipeline's CPU. No shingles×perms row explosion either
+    * way. */
   def minhashSignaturesFromSets(sets: DataFrame, perms: Int = 64): DataFrame = {
     val p = 1000000007L
+    val bs = (0 until perms).map { i =>
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64(
+        Seq(org.apache.spark.sql.catalyst.expressions.Literal(i)), 42L)
+        .eval(null).asInstanceOf[Long]
+      ((h % p) + p) % p
+    }
+    val bLit = bs.mkString("array(", "L, ", "L)")
     sets.select(col("doc_id"), expr(
-      s"""transform(sequence(0, ${perms - 1}), i ->
-         |  aggregate(xs, cast($p as bigint),
-         |    (mn, x) -> least(mn, pmod(pmod(x, $p) * (i * 2 + 1) + pmod(xxhash64(i), $p), $p))))"""
+      s"""aggregate(
+         |  transform(xs, x -> pmod(x, $p)),
+         |  transform(sequence(0, ${perms - 1}), i -> cast($p as bigint)),
+         |  (acc, xp) -> zip_with(acc, sequence(0, ${perms - 1}), (mn, i) ->
+         |    least(mn, pmod(xp * (i * 2 + 1) + element_at($bLit, i + 1), $p))))"""
         .stripMargin).as("sig"))
   }
 
