@@ -294,6 +294,18 @@ class BinaryIngestSpec extends AnyFunSuite {
     java.nio.file.Files.delete(p); java.nio.file.Files.delete(dir)
   }
 
+  test("triangle adjacency form: broadcast and shuffled-join variants agree") {
+    val pairs = TestSpark.edgeDF(Seq(
+      (0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L), (4L, 2L), (5L, 6L)))
+    val oriented = GraphCore.orientClean(pairs)
+    val adj = GraphCore.adjacency(oriented)
+    val b = TriangleCount.globalAdjacency(spark, oriented, adj, broadcastAdj = true)
+      .first().getLong(0)
+    val s = TriangleCount.globalAdjacency(spark, oriented, adj, broadcastAdj = false)
+      .first().getLong(0)
+    assert(b === 2L && s === 2L)
+  }
+
   test("uint32 ids above Int.MaxValue read as positive longs") {
     val big = 4294967295L // 2^32 - 1
     val p = writeBin("big.bin", Seq(big, 1L))
