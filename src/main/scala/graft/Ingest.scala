@@ -81,6 +81,32 @@ object Ingest {
       .distinct()
   }
 
+  /** Gap-based sessionization of the events stream — the classic
+    * conversation/user-activity operator: within each user's (ts, event_id)-ordered
+    * events, a new session starts when the gap to the previous event exceeds
+    * `gapSeconds`. Output (event_id, user_id, session_idx) with session_idx
+    * counting from 1 per user. Gaps compare in exact integer MICROseconds
+    * (`unix_micros`), so the DuckDB twin ([[OracleSql.sessionize]], `epoch_us`) is
+    * bit-identical.
+    *
+    * Scale note: windows partition by user — a pathological single user with
+    * billions of events would make one giant sorted partition; the production
+    * mitigation is the same two-level stitch as any per-key scan (bucket by
+    * (user, coarse time), sessionize within buckets, merge boundary sessions). */
+  def sessionize(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("prev_us", lag(unix_micros(col("ts").cast("timestamp")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts").cast("timestamp")) - col("prev_us") > gapSeconds * 1000000L, 1L)
+          .otherwise(0L))
+      .select(col("event_id"), col("user_id"),
+        sum(col("new_sess"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)).as("session_idx"))
+  }
+
   /** Stable participant id used by [[edgesFromTranscripts]], exposed so tests and
     * downstream lookups can reverse the mapping via a dimension table. */
   def participantId(name: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -310,6 +310,20 @@ object OracleSql {
   val degreeHistogram: String =
     s"WITH $graphCtes SELECT deg, count(*) AS n_vertices FROM deg GROUP BY deg"
 
+  /** Twin of [[graft.Ingest.sessionize]]: integer-microsecond gap compare. */
+  def sessionize(gapSeconds: Long): String =
+    s"""WITH lagd AS (
+       |  SELECT event_id, user_id, ts,
+       |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+       |  FROM events)
+       |SELECT event_id, user_id,
+       |       CAST(sum(CASE WHEN prev_us IS NULL
+       |                       OR epoch_us(ts) - prev_us > ${gapSeconds * 1000000L}
+       |                     THEN 1 ELSE 0 END)
+       |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+       |FROM lagd""".stripMargin
+
   /** Global clustering coefficient (transitivity): 3·T / Σ C(deg, 2). */
   val transitivity: String =
     s"""WITH $graphCtes,

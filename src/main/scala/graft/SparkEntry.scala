@@ -113,6 +113,9 @@ object SparkEntry {
       PageRank.fixedIterations(canonical(s, d), 10)
         .select(col("v"), round(col("pr"), 6).as("pr"))),
     "lpa_2step" -> ((s, d) => LabelProp.run(canonical(s, d), 2)),
+    // gap-based sessionization of the events stream (30-minute gap)
+    "sessionize" -> ((s, d) =>
+      Ingest.sessionize(Ingest.table(s, d, "events"), gapSeconds = 1800)),
     // --- relational sanity ------------------------------------------------------
     "q1_agg" -> ((s, d) =>
       Ingest.table(s, d, "lineitem")
@@ -250,6 +253,7 @@ object SparkEntry {
     "embed_neardup_pairs_lsh" -> OracleSql.embedLshNearDupPairs(64, 0.4, 5, 40),
     "embed_ivf_topk" -> OracleSql.embedIvfTopK(64, 5, 25, 50, 2),
     "transitivity" -> OracleSql.transitivity,
-    "corpus_clean_stats" -> OracleSql.corpusCleanStats
+    "corpus_clean_stats" -> OracleSql.corpusCleanStats,
+    "sessionize" -> OracleSql.sessionize(1800)
   )
 }

@@ -19,6 +19,20 @@ class IngestSpec extends AnyFunSuite {
     assert(TriangleCount.countPairsAdjacency(spark, edges).first().getLong(0) === 3L)
   }
 
+  test("sessionize: gap threshold splits sessions per user; boundary gap stays in-session") {
+    val s0 = spark
+    import s0.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(s: Long) = new java.sql.Timestamp(t0.getTime + s * 1000)
+    val ev = Seq(
+      (1L, 10L, ts(0)), (2L, 10L, ts(100)), (3L, 10L, ts(2000)), // 1900s gap → new session
+      (4L, 20L, ts(0)), (5L, 20L, ts(1800)) // exactly 1800s: NOT > gap → same session
+    ).toDF("event_id", "user_id", "ts")
+    val got = Ingest.sessionize(ev, gapSeconds = 1800).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
+  }
+
   test("per-turn text equality under stable (conv_id, turn_idx) ordering round-trip (input_hint invariant)") {
     val t = Transcripts.synth(spark, 50, 20)
     val dir = java.nio.file.Files.createTempDirectory("graft-transcripts").toString
