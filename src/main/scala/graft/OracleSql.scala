@@ -288,6 +288,20 @@ object OracleSql {
       |SELECT DISTINCT a.pid AS src, b.pid AS dst
       |FROM ids a JOIN ids b ON a.conv_id = b.conv_id AND a.pid < b.pid""".stripMargin
 
+  /** Twin of the near-dup clustering query: transitive closure over the
+    * [[ngramJaccardPairs]] edge set (embedded as a subquery — one source of
+    * truth), min doc_id per cluster, singletons map to themselves. */
+  def dedupClusterCanonical(k: Int, threshold: Double): String =
+    s"""WITH RECURSIVE p AS (SELECT * FROM (${ngramJaccardPairs(k, threshold)}) t),
+       |ud AS (SELECT a AS u, b AS w FROM p UNION ALL SELECT b AS u, a AS w FROM p),
+       |r(v, l) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM ud)
+       |  UNION
+       |  SELECT ud.w, r.l FROM r JOIN ud ON ud.u = r.v),
+       |m AS (SELECT v, min(l) AS c FROM r GROUP BY v)
+       |SELECT d.doc_id, coalesce(m.c, d.doc_id) AS canonical_id
+       |FROM documents d LEFT JOIN m ON m.v = d.doc_id""".stripMargin
+
   /** Local clustering coefficient per vertex: 2·T(v) / (d(v)·(d(v)−1)). */
   val clusteringCoeff: String =
     s"""WITH $graphCtes,

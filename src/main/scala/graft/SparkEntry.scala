@@ -136,6 +136,19 @@ object SparkEntry {
       docs.Dedup.ngramJaccardPairs(Ingest.table(s, d, "documents"), k = 5, threshold = 0.35)),
     "minhash_lsh_pairs" -> ((s, d) =>
       docs.Dedup.minhashLshPairs(Ingest.table(s, d, "documents"), k = 5, threshold = 0.35)),
+    // the dedup endgame: near-dup pairs → connected components → one canonical doc
+    // per cluster (transitive closure — pairs alone under-deduplicate chains);
+    // composes the pipeline layer with the Components graph kernel
+    "dedup_cluster_canonical" -> ((s, d) => {
+      val docsT = Ingest.table(s, d, "documents")
+      val pairs = docs.Dedup.ngramJaccardPairs(docsT, k = 5, threshold = 0.35)
+        .select(col("a").as("src"), col("b").as("dst"))
+      val comp = Components.run(pairs).withColumnRenamed("v", "doc_id")
+      docsT.select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("canonical_id"))
+    }),
     "simhash64" -> ((s, d) => docs.Dedup.simhash(Ingest.table(s, d, "documents"))),
     "simhash_neardup_pairs" -> ((s, d) =>
       docs.Dedup.simhashNearDupPairs(Ingest.table(s, d, "documents"), maxHamming = 8)),
@@ -254,6 +267,7 @@ object SparkEntry {
     "embed_ivf_topk" -> OracleSql.embedIvfTopK(64, 5, 25, 50, 2),
     "transitivity" -> OracleSql.transitivity,
     "corpus_clean_stats" -> OracleSql.corpusCleanStats,
-    "sessionize" -> OracleSql.sessionize(1800)
+    "sessionize" -> OracleSql.sessionize(1800),
+    "dedup_cluster_canonical" -> OracleSql.dedupClusterCanonical(5, 0.35)
   )
 }
