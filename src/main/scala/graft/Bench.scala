@@ -32,19 +32,41 @@ object Bench {
   def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
-  def run(spark: SparkSession, sfDir: String, names: Seq[String]): Map[String, Double] =
-    names.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        try materialize(fn(spark, sfDir))
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-        val sec = (System.nanoTime() - t0) / 1e9
-        // drop the query's operator-internal caches (shingle sets, normalized
-        // embeddings, …); the memoized shared edge tables stay
-        CacheTracker.release(spark)
-        name -> sec
-      }
-    }.toMap
+  /** Per-query wall time, or Left(error) — a throwing query must surface as
+    * `"err"` in the JSON and contribute NOTHING to the headline total (a broken
+    * query would otherwise *improve* the bench — round-2 audit). Unknown names
+    * are rejected up front rather than silently skipped. */
+  def run(spark: SparkSession, sfDir: String, names: Seq[String]): Seq[(String, Either[String, Double])] = {
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")} — known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+    names.map { name =>
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      val res =
+        try { materialize(fn(spark, sfDir)); Right((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: $e")
+          Left("err")
+        }
+      // drop the query's operator-internal caches (shingle sets, normalized
+      // embeddings, …); the memoized shared edge tables stay
+      CacheTracker.release(spark)
+      name -> res
+    }
+  }
+
+  /** The ONE JSON line the driver parses: per-query seconds (or `"err"`), total
+    * over the successful queries only. */
+  def jsonLine(results: Seq[(String, Either[String, Double])], sfDir: String, cpus: String): String = {
+    val qs = results.map {
+      case (k, Right(sec)) => "\"" + k + "\":" + f"$sec%.3f"
+      case (k, Left(_)) => "\"" + k + "\":\"err\""
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, Right(sec)) => sec }.sum
+    val nErr = results.count(_._2.isLeft)
+    f"""{"metric":"total_headline_sec","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$nErr,"sf":"$sfDir","cpus":"$cpus"}"""
+  }
 
   def session(cpus: String): SparkSession = {
     SparkSession.clearActiveSession()
@@ -73,11 +95,7 @@ object Bench {
     try materialize(spark.read.parquet(s"$sfDir/region.parquet"))
     catch { case _: Throwable => }
     val results = run(spark, sfDir, names)
-    val qs = names.filter(results.contains)
-      .map(k => "\"" + k + "\":" + f"${results(k)}%.3f").mkString("{", ",", "}")
-    val total = results.values.sum
-    val line =
-      f"""{"metric":"total_headline_sec","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":"$cpus"}"""
+    val line = jsonLine(results, sfDir, cpus)
     println(line)
     // The driver parses the bench output; sbt's logger prefixes stdout with
     // [info], which broke machine parsing in round 1 ("parsed": null). Persist
@@ -85,6 +103,7 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
+    SparkEntry.releaseCaches(spark) // harness teardown: memoized edge tables too
     spark.stop()
   }
 }

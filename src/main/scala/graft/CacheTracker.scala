@@ -13,17 +13,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * materializing. Deliberate session-lifetime caches (the memoized canonical /
   * oriented edge tables in [[SparkEntry]]) do NOT go through the tracker — they
   * are shared across queries by design and released by
-  * [[SparkEntry.releaseCaches]].
+  * [[SparkEntry.releaseCaches]] (which also drains this tracker).
+  *
+  * Round-2 advice hardening: entries are added only AFTER `persist()` succeeds
+  * (a throwing persist leaves no stale entry), and the per-session set is
+  * SIZE-BOUNDED — an embedder that never calls release evicts-and-unpersists
+  * its oldest tracked intermediate once [[maxTrackedPerSession]] is exceeded,
+  * so driver-heap references (and executor cache blocks) cannot grow without
+  * bound. Weak references would NOT work here: Spark's CacheManager itself pins
+  * the cached plan strongly, so once the Dataset object is garbage-collected
+  * the cache would be unreleasable while still occupying executor memory —
+  * eviction must happen while we still hold the handle.
   */
 object CacheTracker {
 
+  /** Oldest tracked intermediates are unpersisted past this bound. Generous:
+    * a single query's operators track a handful of frames, and harnesses
+    * release per query. */
+  private[graft] val maxTrackedPerSession = 64
+
   private val tracked =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, DataFrame)]()
+    new java.util.concurrent.ConcurrentLinkedQueue[(SparkSession, DataFrame)]()
 
   /** Persist `df` and remember it for later [[release]]. */
   def persist(df: DataFrame): DataFrame = {
-    tracked.add((df.sparkSession, df))
-    df.persist()
+    val persisted = df.persist() // track only after persist() succeeds
+    val s = df.sparkSession
+    tracked.add((s, df))
+    while (trackedCount(s) > maxTrackedPerSession) evictOldest(s)
+    persisted
   }
 
   /** Unpersist every tracked frame of `spark` (non-blocking). */
@@ -35,6 +53,20 @@ object CacheTracker {
         it.remove()
         try e._2.unpersist(blocking = false)
         catch { case _: Throwable => () }
+      }
+    }
+  }
+
+  private def evictOldest(spark: SparkSession): Unit = {
+    val it = tracked.iterator()
+    var done = false
+    while (it.hasNext && !done) {
+      val e = it.next()
+      if (e._1 eq spark) {
+        it.remove()
+        try e._2.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+        done = true
       }
     }
   }

@@ -151,6 +151,13 @@ object Ingest {
       (0L until m by recsPerSplit).map(r0 =>
         (st.getPath.toString, r0, math.min(r0 + recsPerSplit, m)))
     }
+    // Ship the DRIVER's Hadoop configuration to the read tasks (round-2 advice):
+    // a task-side `new Configuration()` would drop every programmatic /
+    // spark.hadoop.* setting — object-store credentials, endpoints, fs tuning —
+    // and only work where classpath defaults suffice.
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
     val parallelism = math.max(math.min(splits.size, spark.sparkContext.defaultParallelism), 1)
     splits.toDF("path", "rec0", "rec1")
       .repartition(parallelism)
@@ -160,7 +167,7 @@ object Ingest {
           new Iterator[Edge] {
             private val chunkRecs = (4L << 20) / 8 // 4 MiB chunks: constant task memory
             private val fp = new org.apache.hadoop.fs.Path(p)
-            private val in = fp.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(fp)
+            private val in = fp.getFileSystem(confBc.value.value).open(fp)
             Option(org.apache.spark.TaskContext.get())
               .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
             private var nextRec = r0

@@ -347,7 +347,8 @@ object OracleSql {
        |  JOIN e e2 ON e2.src = e1.dst
        |  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
        |w AS (SELECT CAST(sum(deg * (deg - 1)) / 2 AS BIGINT) AS wedges FROM deg)
-       |SELECT round(3.0 * t.triangles / w.wedges, 6) AS transitivity,
+       |SELECT CASE WHEN w.wedges > 0 THEN round(3.0 * t.triangles / w.wedges, 6)
+       |            ELSE 0.0 END AS transitivity,
        |       t.triangles, w.wedges
        |FROM t, w""".stripMargin
 

@@ -43,6 +43,28 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     TriangleCount.globalRelational(orientedOf(spark, "/root/testdata/sf0.001"))
 
+  /** Release the session-lifetime memoized caches (canonical + oriented edge
+    * tables) for `spark`, plus any operator-internal caches still tracked by
+    * [[CacheTracker]]. Harness teardown (Bench/Verify) and long-lived embedders
+    * call this; per-query operator caches are released per query via
+    * [[CacheTracker.release]] alone. */
+  def releaseCaches(spark: SparkSession): Unit = {
+    def drop(m: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]): Unit = {
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1 eq spark) {
+          it.remove()
+          try e.getValue.unpersist(blocking = false)
+          catch { case _: Throwable => () }
+        }
+      }
+    }
+    drop(orientedCache)
+    drop(edgeCache)
+    CacheTracker.release(spark)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2 (+ BASELINE.json
     * north_star kernels and the training-data-pipeline operators). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -62,6 +84,13 @@ object SparkEntry {
       // adjacency persisted: referenced by both join sides of the intersect plan
       TriangleCount.globalAdjacency(s, o, CacheTracker.persist(GraphCore.adjacency(o)))
     }),
+    // the out-of-core escape of the headline kernel (reference's 2D chunk-pair
+    // split, gpu.cu:27-58), forced to 3 shards here so the driver value-checks
+    // the path globalAdjacency auto-selects once the CSR outgrows an executor
+    "triangles_adj_sharded" -> ((s, d) => {
+      val o = orientedOf(s, d)
+      TriangleCount.globalAdjacencySharded(s, o, CacheTracker.persist(GraphCore.adjacency(o)), 3)
+    }),
     "triangles_per_vertex" -> ((s, d) =>
       // uses the memoized persisted orientation: trianglesRelational references it
       // 3x and the corner union 3x more — unpersisted, the degree-agg+join subtree
@@ -74,7 +103,11 @@ object SparkEntry {
     "clustering_coeff" -> ((s, d) => {
       val c = canonical(s, d)
       val deg = GraphCore.degrees(c)
-      TriangleCount.perVertex(c, orientedOf(s, d))
+      // adjacency-witness per-vertex form (oracle-equal to perVertex, proven by the
+      // triangles_per_vertex/_adj twin oracles): materializes O(#triangles)
+      // intersection rows, not the O(m^1.5) wedge set — the 100× shape
+      val o = orientedOf(s, d)
+      TriangleCount.perVertexAdjacency(c, o, GraphCore.adjacency(o))
         .join(deg, "v")
         .select(col("v"), col("deg"), col("tri_cnt"),
           round(
@@ -93,7 +126,11 @@ object SparkEntry {
       TriangleCount.globalRelational(orientedOf(s, d))
         .crossJoin(wedges)
         .select(
-          round(lit(3.0) * col("triangles") / col("wedges"), 6).as("transitivity"),
+          // zero guard: a wedge-free graph (empty / perfect matching) must yield
+          // 0.0, not null/NaN — mirrored as CASE in OracleSql.transitivity
+          when(col("wedges") > 0,
+            round(lit(3.0) * col("triangles") / col("wedges"), 6))
+            .otherwise(lit(0.0)).as("transitivity"),
           col("triangles"), col("wedges"))
     }),
     // CSR offsets (distributed two-level prefix sum) + edge-balanced block split —
@@ -239,6 +276,7 @@ object SparkEntry {
     "adjacency_csr_layout" -> OracleSql.adjacencyCsv,
     "triangles_global" -> OracleSql.trianglesGlobal,
     "triangles_adj_global" -> OracleSql.trianglesGlobal,
+    "triangles_adj_sharded" -> OracleSql.trianglesGlobal,
     "triangles_per_vertex" -> OracleSql.trianglesPerVertex,
     "triangles_per_vertex_adj" -> OracleSql.trianglesPerVertex,
     "connected_components" -> OracleSql.connectedComponents,

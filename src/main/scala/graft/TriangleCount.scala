@@ -94,6 +94,21 @@ object TriangleCount {
       .select(col("v"), coalesce(col("cnt"), lit(0L)).as("tri_cnt"))
   }
 
+  /** Broadcast-size comfort threshold for [[globalAdjacency]]'s auto-select:
+    * adjacency estimated above this goes through [[globalAdjacencySharded]]
+    * (2 GiB — half of Spark's own 8 GiB broadcast-table hard limit, sized so two
+    * adjacency blocks plus the build-side hash maps fit a typical executor). */
+  val defaultMaxBroadcastBytes: Long = 2L << 30
+
+  /** Estimated in-memory bytes of an adjacency table: 8 B per neighbor id plus
+    * ~24 B per-row overhead (v, deg, array header). One tiny agg job. */
+  private[graft] def adjacencyBytes(adj: DataFrame): Long = {
+    val r = adj.agg(
+      coalesce(sum(col("deg")), lit(0L)).as("m"),
+      count(lit(1)).as("n")).first()
+    r.getLong(0) * 8L + r.getLong(1) * 24L
+  }
+
   /** Global triangle count via adjacency-list intersection (the reference's physical
     * shape). `adj` must be [[GraphCore.adjacency]] of `oriented`.
     *
@@ -101,18 +116,31 @@ object TriangleCount {
     * MPI rank holds the FULL graph, main.cpp/TrCountingGraph replicate the CSR
     * per rank) the adjacency is broadcast and the edge stream flows through two
     * broadcast hash joins + the merge count inside ONE codegen stage — neighbor
-    * arrays never enter a shuffle or sort. The shuffled-join alternative
-    * (`broadcastAdj = false`) ships BOTH arrays with every edge row through a
-    * sort-merge join: measured on a 32M-edge graph that materializes ~0.3 TB of
-    * sort spill and exhausts local disk. Use false only when the adjacency
-    * exceeds executor memory — at that point shard the edge set and broadcast
-    * per-shard instead (the reference's multi-GPU split). */
+    * arrays never enter a shuffle or sort. When the estimated adjacency exceeds
+    * `maxBroadcastBytes`, the call AUTO-SELECTS [[globalAdjacencySharded]] — the
+    * reference's own out-of-core escape (main.cpp:85-97 picks the split kernel
+    * when `12m > GPU_mem`); every measured result is identical either way.
+    *
+    * The shuffled-join alternative (`broadcastAdj = false`) ships BOTH arrays
+    * with every edge row through a sort-merge join: measured on a 32M-edge graph
+    * that materializes ~0.3 TB of sort spill and exhausts local disk — kept only
+    * as the differential-test twin, never auto-selected. */
   def globalAdjacency(
       spark: SparkSession,
       oriented: DataFrame,
       adj: DataFrame,
-      broadcastAdj: Boolean = true): DataFrame = {
+      broadcastAdj: Boolean = true,
+      maxBroadcastBytes: Long = defaultMaxBroadcastBytes): DataFrame = {
     SortedIntersectCount.register(spark)
+    if (broadcastAdj) {
+      val bytes = adjacencyBytes(adj)
+      if (bytes > maxBroadcastBytes) {
+        // two blocks are live per pair job; size k so both fit the threshold
+        val shards = math.max(2L, (2L * bytes + maxBroadcastBytes - 1) / maxBroadcastBytes)
+          .min(1024L).toInt
+        return globalAdjacencySharded(spark, oriented, adj, shards)
+      }
+    }
     def side(a: DataFrame) = if (broadcastAdj) broadcast(a) else a
     val adjU = side(adj.select(col("v").as("src"), col("nbrs").as("nbrs_u")))
     val adjV = side(adj.select(col("v").as("dst"), col("nbrs").as("nbrs_v")))
@@ -121,6 +149,72 @@ object TriangleCount {
       .join(adjV, "dst")
       .select(call_function(SortedIntersectCount.name, col("nbrs_u"), col("nbrs_v")).as("cnt"))
       .agg(coalesce(sum(col("cnt")), lit(0L)).as("triangles"))
+  }
+
+  /** Out-of-core (sharded-broadcast) global triangle count — the Spark analog of
+    * the reference's 2D chunk-pair split kernel (gpu.cu:27-58
+    * `CalculateTrianglesSplit_v2` iterates `split_num × split_num` chunk pairs;
+    * main.cpp:85-97 selects it when the CSR exceeds device memory).
+    *
+    * Vertices are cut into `shards` contiguous ranges carrying ~equal EDGES via
+    * [[GraphCore.csrBlocks]] (the `get_split_v2` semantics — oracle-checked).
+    * Each oriented edge (u, v) belongs to block pair (block(u), block(v)); for
+    * every NON-EMPTY pair (i, j) — at most shards², usually far fewer — one job
+    * broadcasts adjacency blocks i and j (≈ 2/shards of the full CSR, the only
+    * adjacency bytes resident at a time), probes them with that pair's edges
+    * inside one codegen stage, and reduces to a scalar partial. Partials sum on
+    * the driver — the analog of the reference's sequential chunk-pair kernel
+    * launches + `thrust::reduce`. Neighbor arrays never enter a shuffle in any
+    * pair job. Edge rows carry only (src, dst, two block ids): the edge table is
+    * rescanned per pair from its persisted, block-filtered form, exactly like
+    * the reference re-reads its edge list per chunk pair.
+    *
+    * Total work: each edge is processed in exactly one pair job (each triangle
+    * counted once); adjacency blocks are re-broadcast ≤ 2·shards times, the
+    * price of never holding the full CSR — the same trade the reference makes. */
+  def globalAdjacencySharded(
+      spark: SparkSession,
+      oriented: DataFrame,
+      adj: DataFrame,
+      shards: Int): DataFrame = {
+    require(shards >= 1, "shards must be positive")
+    SortedIntersectCount.register(spark)
+    val blocks = GraphCore.csrBlocks(adj, shards).select(col("v"), col("block"))
+    // (v, nbrs, block): the CSR with its block id — filtered per pair job
+    val adjB = CacheTracker.persist(adj.join(blocks, "v").select(col("v"), col("nbrs"), col("block")))
+    // (src, dst, bs, bd): edges tagged with both endpoint blocks. A dst with
+    // out-degree 0 has no adjacency row — its edges close no triangle and drop
+    // here, exactly as the broadcast form's inner adjacency join drops them.
+    val eB = CacheTracker.persist(oriented
+      .join(blocks.select(col("v").as("src"), col("block").as("bs")), "src")
+      .join(blocks.select(col("v").as("dst"), col("block").as("bd")), "dst")
+      .select(col("src"), col("dst"), col("bs"), col("bd")))
+    val present = eB.groupBy("bs", "bd").agg(count(lit(1)))
+      .select(col("bs"), col("bd")).collect() // ≤ shards² coordinates — tiny
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(identity)
+    var total = 0L
+    present.foreach { case (i, j) =>
+      total += shardPairCount(eB, adjB, i, j).first().getLong(0)
+    }
+    import spark.implicits._
+    Seq(total).toDF("triangles")
+  }
+
+  /** One chunk-pair partial: edges of block pair (i, j) probe the two broadcast
+    * adjacency blocks and reduce to a single count. Factored out so tests can
+    * assert the plan shape (broadcast hash joins only — no sort-merge join ever
+    * touches an array payload). */
+  private[graft] def shardPairCount(eB: DataFrame, adjB: DataFrame, i: Long, j: Long): DataFrame = {
+    val aU = broadcast(adjB.where(col("block") === i)
+      .select(col("v").as("src"), col("nbrs").as("nbrs_u")))
+    val aV = broadcast(adjB.where(col("block") === j)
+      .select(col("v").as("dst"), col("nbrs").as("nbrs_v")))
+    eB.where(col("bs") === i && col("bd") === j)
+      .join(aU, "src")
+      .join(aV, "dst")
+      .select(call_function(SortedIntersectCount.name, col("nbrs_u"), col("nbrs_v")).as("cnt"))
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("partial"))
   }
 
   /** End-to-end: arbitrary pair table → cleaned → oriented → global count

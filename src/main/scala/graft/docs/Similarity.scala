@@ -38,7 +38,9 @@ object Similarity {
     * excluded. Output (q_id, nbr_id, score, rnk), score rounded to 6, rnk 1..k with
     * deterministic (score desc, nbr_id asc) tie-break. */
   def bruteForceCosineTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 25): DataFrame = {
-    val n = normed(embeddings)
+    // persisted: referenced twice (query side + corpus side) — unpersisted, the
+    // norm fold over every embedding ran twice per query (round-2 audit)
+    val n = graft.CacheTracker.persist(normed(embeddings))
     val q = n.select(col("vec_id").as("q_id"), col("emb").as("qe"), col("nrm").as("qn"))
       .where(pmod(col("q_id"), lit(queryMod)) === 0)
     val scored = broadcast(q).join(n, col("vec_id") =!= col("q_id"))
@@ -159,13 +161,21 @@ object Similarity {
     val n = graft.CacheTracker.persist(normed(embeddings)) // corpus, centroid, and query views
     val cents = n.where(pmod(col("vec_id"), lit(centMod)) === 0)
       .select(col("vec_id").as("c_id"), col("emb").as("ce"), col("nrm").as("cn"))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("c_id").asc)
+    // argmax centroid as a map-side-combinable `max_by` aggregate, NOT a
+    // row_number window: the corpus×centroids blowup partially reduces to one
+    // row per vec_id inside each scan task and never shuffles (round-2 audit —
+    // the window form shuffled |corpus|·|cents| rows to sort them). The ordering
+    // struct (cs, -c_id) is unique per group, so the pick is deterministic and
+    // identical to the oracle's ORDER BY cs DESC, c_id ASC.
     val assigned = n.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("emb"), col("nrm"), col("c_id"),
         (dot(col("emb"), col("ce")) / (col("nrm") * col("cn"))).as("cs"))
-      .withColumn("rn", row_number().over(wAssign))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("emb"), col("nrm"), col("c_id"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("c_id"), col("emb"), col("nrm")),
+        struct(col("cs"), (-col("c_id")).as("nc"))).as("m"))
+      .select(col("vec_id"), col("m.emb").as("emb"), col("m.nrm").as("nrm"),
+        col("m.c_id").as("c_id"))
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cs").desc, col("c_id").asc)
     val probed = n.where(pmod(col("vec_id"), lit(queryMod)) === 0)
       .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("nrm").as("qn"))

@@ -44,6 +44,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * Guarded on `containsNull = false` element types: with null elements,
   * `arrays_overlap` returns null where `size(...) > 0` returns false — the rewrite
   * would change results. Null top-level arrays agree in both forms (null → null).
+  *
+  * Also guarded on `spark.sql.legacy.sizeOfNull = false` (round-2 advice): under
+  * the legacy flag `size(null)` is -1, so `size(array_intersect(null, b)) > 0`
+  * is false and `<= 0` is TRUE where the rewritten overlap forms yield null — a
+  * semantics change the element-level guard cannot see.
   */
 object IntersectionNonEmptyToOverlap extends Rule[LogicalPlan] {
 
@@ -52,7 +57,11 @@ object IntersectionNonEmptyToOverlap extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (org.apache.spark.sql.internal.SQLConf.get.legacySizeOfNull) plan
+    else rewrite(plan)
+
+  private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case GreaterThan(Size(ArrayIntersect(a, b), _), Literal(0, _))
         if nonNullElems(a) && nonNullElems(b) =>
       ArraysOverlap(a, b)

@@ -58,6 +58,31 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(q.count() === 1) // and the unrewritten form still evaluates correctly
   }
 
+  test("overlap rule does NOT fire under spark.sql.legacy.sizeOfNull=true") {
+    val s = spark.newSession()
+    s.experimental.extraOptimizations = Seq(IntersectionNonEmptyToOverlap)
+    // the legacy flag only takes effect with ANSI mode off (Spark 4 default on)
+    s.conf.set("spark.sql.ansi.enabled", "false")
+    s.conf.set("spark.sql.legacy.sizeOfNull", "true")
+    try {
+      import s.implicits._
+      // under the legacy flag size(null array) is -1, so `<= 0` on a null input
+      // is TRUE while Not(arrays_overlap) would be null — the rewrite is unsound
+      val dir = java.nio.file.Files.createTempDirectory("graft-ext3").resolve("t.parquet")
+      Seq((1L, 2L)).toDF("x", "y").write.mode("overwrite").parquet(dir.toString)
+      val df = s.read.parquet(dir.toString)
+        .select(array(coalesce($"x", lit(0L)), lit(2L)).as("a"),
+          array(coalesce($"y", lit(0L))).as("b"))
+      val q = df.where(size(array_intersect($"a", $"b")) > 0)
+      assert(!q.queryExecution.optimizedPlan.toString.contains("arrays_overlap"),
+        s"rule must NOT fire under legacy sizeOfNull:\n${q.queryExecution.optimizedPlan}")
+      assert(q.count() === 1)
+    } finally {
+      s.conf.set("spark.sql.legacy.sizeOfNull", "false")
+      s.conf.unset("spark.sql.ansi.enabled")
+    }
+  }
+
   test("GraftExtensions installs function + rule at session build (deployment path)") {
     val prevA = SparkSession.getActiveSession
     val prevD = SparkSession.getDefaultSession

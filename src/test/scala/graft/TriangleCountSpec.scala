@@ -72,6 +72,55 @@ class TriangleCountSpec extends AnyFunSuite {
     val es = Seq.fill(400)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
     assert(relational(es) === adjacency(es))
   }
+
+  private def sharded(edges: Seq[(Long, Long)], shards: Int): Long = {
+    val oriented = GraphCore.orientClean(edgeDF(edges))
+    TriangleCount.globalAdjacencySharded(
+      spark, oriented, GraphCore.adjacency(oriented), shards)
+      .first().getLong(0)
+  }
+
+  test("sharded-broadcast (out-of-core) path equals broadcast path on all fixtures") {
+    for {
+      (name, es) <- Seq("tri1" -> fixtures.tri1, "nvgraph8" -> fixtures.nvgraph8,
+        "dupEdges" -> fixtures.dupEdges, "selfLoop" -> fixtures.selfLoop)
+      k <- Seq(1, 2, 3)
+    } assert(sharded(es, k) === fixtures.goldenTriangles(name), s"$name @ $k shards")
+  }
+
+  test("sharded path equals broadcast path on seeded random graphs") {
+    for (seed <- Seq(7, 42); k <- Seq(3, 5)) {
+      val rnd = new scala.util.Random(seed)
+      val es = Seq.fill(500)((rnd.nextInt(70).toLong, rnd.nextInt(70).toLong))
+      assert(sharded(es, k) === adjacency(es), s"seed $seed @ $k shards")
+    }
+  }
+
+  test("globalAdjacency auto-selects the sharded path above the broadcast threshold") {
+    val oriented = GraphCore.orientClean(edgeDF(fixtures.nvgraph8))
+    val adj = GraphCore.adjacency(oriented)
+    // threshold of 1 byte forces the out-of-core path; result must be unchanged
+    val got = TriangleCount.globalAdjacency(spark, oriented, adj,
+      maxBroadcastBytes = 1L).first().getLong(0)
+    assert(got === 3L)
+  }
+
+  test("sharded pair jobs use broadcast hash joins — no sort-merge join of array payloads") {
+    val oriented = GraphCore.orientClean(edgeDF(fixtures.nvgraph8))
+    val adj = GraphCore.adjacency(oriented)
+    val blocks = GraphCore.csrBlocks(adj, 2).select(col("v"), col("block"))
+    val adjB = adj.join(blocks, "v").select(col("v"), col("nbrs"), col("block"))
+    val eB = oriented
+      .join(blocks.select(col("v").as("src"), col("block").as("bs")), "src")
+      .join(blocks.select(col("v").as("dst"), col("block").as("bd")), "dst")
+      .select(col("src"), col("dst"), col("bs"), col("bd"))
+    graft.expr.SortedIntersectCount.register(spark)
+    val plan = TriangleCount.shardPairCount(eB, adjB, 0L, 0L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"array payload must never sort-merge:\n$plan")
+    CacheTracker.release(spark)
+  }
 }
 
 class GraphCoreSpec extends AnyFunSuite {
