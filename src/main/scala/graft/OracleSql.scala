@@ -224,6 +224,71 @@ object OracleSql {
        |  JOIN sz sb ON sb.doc_id = b)
        |SELECT a, b, jac FROM jac WHERE jac >= $threshold""".stripMargin
 
+  /** Twin of [[graft.docs.Dedup.minhashLshPairs]] — the FULL banded pipeline
+    * (portable 60-bit shingle hashes → per-doc sets → permutation-min
+    * signatures → rolling band hashes → bucket candidates → exact hash-set
+    * Jaccard verify). The permutation offsets b_i come from the SAME driver
+    * literal table the Spark side ships ([[graft.docs.Dedup.minhashOffsets]])
+    * — one source of truth, no drift possible. Candidate pairs with zero
+    * common hash drop out of the inner `inter` join; the Spark side computes
+    * jac = 0 for them and the threshold filters — identical rows. */
+  def minhashLshPairs(k: Int, perms: Int, bands: Int, threshold: Double): String = {
+    val rows = perms / bands
+    val bs = graft.docs.Dedup.minhashOffsets(perms).mkString("[", ", ", "]")
+    s"""WITH shing AS (
+       |  SELECT DISTINCT doc_id, substr("text", u, $k) AS sh
+       |  FROM (SELECT doc_id, "text", unnest(range(1, length("text") - ${k - 2})) AS u
+       |        FROM documents WHERE length("text") >= $k)),
+       |hx AS (
+       |  SELECT DISTINCT doc_id,
+       |         list_reduce(list_prepend(0::BIGINT, cs), (a, c) -> (a * 31 + c) % 1000000007) * 1000000009
+       |         + list_reduce(list_prepend(0::BIGINT, cs), (a, c) -> (a * 131 + c) % 1000000009) AS x
+       |  FROM (SELECT doc_id, [CAST(unicode(c) AS BIGINT) for c in string_split(sh, '')] AS cs
+       |        FROM shing)),
+       |sets AS (SELECT doc_id, list(x) AS xs, count(*) AS n FROM hx GROUP BY doc_id),
+       |bsl AS (SELECT $bs::BIGINT[] AS bs),
+       |sig AS (
+       |  SELECT doc_id,
+       |         list_transform(range(0, $perms), i ->
+       |           list_min(list_transform(xs, x ->
+       |             ((x % 1000000007) * (2 * i + 1) + bs[i + 1]) % 1000000007))) AS sig
+       |  FROM sets, bsl),
+       |banded AS (
+       |  SELECT doc_id, band,
+       |         list_reduce(
+       |           list_prepend(CAST(band AS BIGINT),
+       |             list_transform(range(0, $rows), r -> sig[band * $rows + r + 1])),
+       |           (a, s) -> (a * 1000003 + s) % 1000000007) AS bh
+       |  FROM sig, (SELECT unnest(range(0, $bands)) AS band) b),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM banded x JOIN banded y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+       |  FROM hx x JOIN hx y ON x.x = y.x AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT c.a, c.b, round(i.i / (sa.n + sb.n - i.i), 6) AS jac
+       |FROM cand c
+       |JOIN inter i ON i.a = c.a AND i.b = c.b
+       |JOIN sets sa ON sa.doc_id = c.a
+       |JOIN sets sb ON sb.doc_id = c.b
+       |WHERE round(i.i / (sa.n + sb.n - i.i), 6) >= $threshold""".stripMargin
+  }
+
+  /** Scale-path twin of [[dedupClusterCanonical]]: transitive closure over the
+    * [[minhashLshPairs]] edge set (embedded as a subquery — one source of
+    * truth), min doc_id per cluster, singletons map to themselves. */
+  def dedupClusterCanonicalLsh(k: Int, perms: Int, bands: Int, threshold: Double): String =
+    s"""WITH RECURSIVE p AS (SELECT * FROM (${minhashLshPairs(k, perms, bands, threshold)}) t),
+       |ud AS (SELECT a AS u, b AS w FROM p UNION ALL SELECT b AS u, a AS w FROM p),
+       |r(v, l) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM ud)
+       |  UNION
+       |  SELECT ud.w, r.l FROM r JOIN ud ON ud.u = r.v),
+       |m AS (SELECT v, min(l) AS c FROM r GROUP BY v)
+       |SELECT d.doc_id, coalesce(m.c, d.doc_id) AS canonical_id
+       |FROM documents d LEFT JOIN m ON m.v = d.doc_id""".stripMargin
+
   /** Per-document 64-bit SimHash CTE — twin of [[graft.docs.Dedup.simhash]] (same
     * rolling token hash and affine per-bit re-mix). Bit 63 cannot be built as
     * `1 << 63` in DuckDB (bigint overflow error); it is added as the signed

@@ -176,16 +176,15 @@ object SparkEntry {
     // the dedup endgame: near-dup pairs → connected components → one canonical doc
     // per cluster (transitive closure — pairs alone under-deduplicate chains);
     // composes the pipeline layer with the Components graph kernel
-    "dedup_cluster_canonical" -> ((s, d) => {
-      val docsT = Ingest.table(s, d, "documents")
-      val pairs = docs.Dedup.ngramJaccardPairs(docsT, k = 5, threshold = 0.35)
-        .select(col("a").as("src"), col("b").as("dst"))
-      val comp = Components.run(pairs).withColumnRenamed("v", "doc_id")
-      docsT.select(col("doc_id"))
-        .join(comp, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("component"), col("doc_id")).as("canonical_id"))
-    }),
+    "dedup_cluster_canonical" -> ((s, d) =>
+      clusterCanonical(Ingest.table(s, d, "documents"),
+        t => docs.Dedup.ngramJaccardPairs(t, k = 5, threshold = 0.35))),
+    // the SCALE-PATH composition of the same endgame: MinHash-LSH pairs (no
+    // shingle self-join anywhere in the plan) → Components closure → canonical;
+    // differentially tested equal to the exact anchor in DocsSpec
+    "dedup_cluster_canonical_lsh" -> ((s, d) =>
+      clusterCanonical(Ingest.table(s, d, "documents"),
+        t => docs.Dedup.minhashLshPairs(t, k = 5, threshold = 0.35))),
     "simhash64" -> ((s, d) => docs.Dedup.simhash(Ingest.table(s, d, "documents"))),
     "simhash_neardup_pairs" -> ((s, d) =>
       docs.Dedup.simhashNearDupPairs(Ingest.table(s, d, "documents"), maxHamming = 8)),
@@ -252,6 +251,18 @@ object SparkEntry {
         .select(col("v"), round(col("pr"), 6).as("pr")))
   )
 
+  /** The near-dup clustering endgame (pairs alone under-deduplicate chains):
+    * similarity pairs → connected components → min-id canonical per cluster;
+    * singleton docs map to themselves. */
+  private def clusterCanonical(docsT: DataFrame, pairsOf: DataFrame => DataFrame): DataFrame = {
+    val pairs = pairsOf(docsT).select(col("a").as("src"), col("b").as("dst"))
+    val comp = Components.run(pairs).withColumnRenamed("v", "doc_id")
+    docsT.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("canonical_id"))
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the same
     * parquet tables. Omitted keys get a weaker rows-only check.
     *
@@ -259,12 +270,7 @@ object SparkEntry {
     *  - `pagerank_converged`: the stopping iteration is data-dependent and DuckDB
     *    recursive CTEs cannot aggregate in the recursive term; differentially
     *    tested against `fixedIterations` (stability under extra iterations,
-    *    Σpr = 1) in PageRankSpec.
-    *  - `minhash_lsh_pairs`: per-shingle xxhash64 signatures have no DuckDB twin
-    *    (unlike the hyperplane LSH queries, whose plane matrix is a finite literal
-    *    both engines share); candidate recall and exact-jaccard values are
-    *    differentially tested against the oracled `ngram_jaccard_pairs` anchor in
-    *    DedupSpec.
+    *    Σpr = 1) in PageRankSpec, and pinned against a committed golden file.
     *
     * `frame_sample`'s oracle checks frame lengths; the frame bytes themselves are
     * payload substrings by construction (MultimodalSpec slices them back). */
@@ -306,6 +312,8 @@ object SparkEntry {
     "transitivity" -> OracleSql.transitivity,
     "corpus_clean_stats" -> OracleSql.corpusCleanStats,
     "sessionize" -> OracleSql.sessionize(1800),
-    "dedup_cluster_canonical" -> OracleSql.dedupClusterCanonical(5, 0.35)
+    "dedup_cluster_canonical" -> OracleSql.dedupClusterCanonical(5, 0.35),
+    "minhash_lsh_pairs" -> OracleSql.minhashLshPairs(5, 64, 16, 0.35),
+    "dedup_cluster_canonical_lsh" -> OracleSql.dedupClusterCanonicalLsh(5, 64, 16, 0.35)
   )
 }

@@ -1,6 +1,6 @@
 package graft.docs
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -71,62 +71,90 @@ object Dedup {
       .where(col("jac") >= threshold)
   }
 
-  /** Per-document sorted shingle-hash set: (doc_id, xs: array<long> ascending),
-    * xs = sorted distinct xxhash64(shingle). ONE map-side-combined shuffle keyed
-    * by doc — the single shared input of the MinHash signature fold AND the
-    * candidate verification (round 1 built and persisted the shingle table twice).
-    * Full 64-bit hashes: |hash set| = |shingle set| up to ~2^-64 collision odds,
-    * so hash-set Jaccard equals exact shingle Jaccard. */
-  def shingleSets(docs: DataFrame, k: Int = 5): DataFrame =
-    shingles(docs, k)
-      .select(col("doc_id"), xxhash64(col("sh")).as("x"))
-      .groupBy("doc_id")
-      .agg(sort_array(collect_set(col("x"))).as("xs"))
+  /** Portable ~60-bit shingle hash: two independent polynomial rolling hashes of
+    * the k characters (multipliers 31/131, moduli 1e9+7/1e9+9) combined as
+    * h1·(1e9+9) + h2 < 2^60. Unrolled over the k FIXED positions — pure codegen
+    * arithmetic, no interpreted higher-order fold per shingle (the round-2
+    * signature fold was the whole pipeline's CPU), and exactly reproducible in
+    * DuckDB (round-2's xxhash64 had no twin there — the one blocker of the
+    * minhash oracle). Collision odds for S distinct shingles: ~S²/2^61 —
+    * the same equality-by-hash contract as [[exact]]. */
+  private[graft] def shingleHash(sh: Column, k: Int): Column = {
+    def roll(mult: Long, p: Long): Column =
+      (1 to k).foldLeft(lit(0L): Column)((acc, i) =>
+        pmod(acc * lit(mult) + ascii(substring(sh, i, 1)).cast("long"), lit(p)))
+    roll(31L, 1000000007L) * lit(1000000009L) + roll(131L, 1000000009L)
+  }
 
-  /** MinHash signatures from a [[shingleSets]] table: `perms` permutation-min
-    * hashes per document. h_i(s) = (a_i·(x mod p) + b_i) mod p, a_i = 2i+1 odd,
-    * b_i = xxhash64(i) mod p, p = 1e9+7 (keeps a_i·x ≪ 2^63 — no ANSI overflow).
-    * Output (doc_id, sig: array<long> of length `perms`).
-    *
-    * Fold shape matters (interpreted higher-order functions): element-major over
-    * a once-per-row pre-reduced `pmod(x, p)` array, with the permutation offsets
-    * b_i evaluated ONCE on the driver (same Catalyst xxhash64, identical values)
-    * and shipped as a constant-folded literal — the permutation-major form
-    * re-evaluated `xxhash64(i)` and `pmod(x, p)` per (element × permutation),
-    * dominating the LSH pipeline's CPU. No shingles×perms row explosion either
-    * way. */
-  def minhashSignaturesFromSets(sets: DataFrame, perms: Int = 64): DataFrame = {
-    val p = 1000000007L
-    val bs = (0 until perms).map { i =>
+  /** MinHash permutation parameters: h_i(x) = (a_i·(x mod p) + b_i) mod p,
+    * a_i = 2i+1 odd, b_i = xxhash64(i) mod p evaluated ONCE on the driver (the
+    * same Catalyst expression either engine could run) and shipped as literals
+    * — both the Spark aggregates and the DuckDB oracle read this one table. */
+  private[graft] val minhashP = 1000000007L
+  private[graft] def minhashOffsets(perms: Int): Seq[Long] =
+    (0 until perms).map { i =>
       val h = org.apache.spark.sql.catalyst.expressions.XxHash64(
         Seq(org.apache.spark.sql.catalyst.expressions.Literal(i)), 42L)
         .eval(null).asInstanceOf[Long]
-      ((h % p) + p) % p
+      ((h % minhashP) + minhashP) % minhashP
     }
-    val bLit = bs.mkString("array(", "L, ", "L)")
-    sets.select(col("doc_id"), expr(
-      s"""aggregate(
-         |  transform(xs, x -> pmod(x, $p)),
-         |  transform(sequence(0, ${perms - 1}), i -> cast($p as bigint)),
-         |  (acc, xp) -> zip_with(acc, sequence(0, ${perms - 1}), (mn, i) ->
-         |    least(mn, pmod(xp * (i * 2 + 1) + element_at($bLit, i + 1), $p))))"""
-        .stripMargin).as("sig"))
+
+  /** Hashed shingle rows: (doc_id, x) with x = [[shingleHash]] of each distinct
+    * shingle — the shared map-side input of both MinHash stages. */
+  def shingleHashes(docs: DataFrame, k: Int = 5): DataFrame =
+    shingles(docs, k).select(col("doc_id"), shingleHash(col("sh"), k).as("x"))
+
+  /** MinHash signatures from hashed shingle rows: the `perms` permutation minima
+    * as plain `min` aggregates — one fully codegen'd HashAggregate with partial
+    * (map-side) combine, replacing round 2's interpreted `aggregate`/`zip_with`
+    * fold (Spark never compiles higher-order functions; the fold was 17 s of
+    * the driver bench). Kept SEPARATE from the collect_set aggregation: mixing
+    * a TypedImperativeAggregate into the same groupBy would force the whole
+    * aggregation onto the non-codegen ObjectHashAggregate path.
+    * Output (doc_id, sig: array<long> of length `perms`). */
+  def minhashSignaturesFromHashes(hashed: DataFrame, perms: Int = 64): DataFrame = {
+    val bs = minhashOffsets(perms)
+    val minCols = (0 until perms).map(i =>
+      min(pmod(col("xp") * lit(2L * i + 1) + lit(bs(i)), lit(minhashP))).as(s"_m$i"))
+    hashed
+      .withColumn("xp", pmod(col("x"), lit(minhashP)))
+      .groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until perms).map(i => col(s"_m$i")): _*).as("sig"))
   }
 
+  /** Per-document sorted shingle-hash set: (doc_id, xs: array<long> ascending). */
+  def shingleSets(docs: DataFrame, k: Int = 5): DataFrame =
+    setsFromHashes(shingleHashes(docs, k))
+
+  private def setsFromHashes(hashed: DataFrame): DataFrame =
+    hashed.groupBy("doc_id").agg(sort_array(collect_set(col("x"))).as("xs"))
+
   def minhashSignatures(docs: DataFrame, k: Int = 5, perms: Int = 64): DataFrame =
-    minhashSignaturesFromSets(shingleSets(docs, k), perms)
+    minhashSignaturesFromHashes(shingleHashes(docs, k), perms)
+
+  /** Rolling band hash over the band's `rows` signature values, seeded with the
+    * band index — plain codegen arithmetic, identical in DuckDB. Collisions can
+    * only ADD candidates (merged buckets), never lose them; the exact verify
+    * removes any such false positive in both engines identically. */
+  private def bandHash(b: Int, rows: Int): Column =
+    (0 until rows).foldLeft(lit(b.toLong): Column)((acc, r) =>
+      pmod(acc * lit(1000003L) + element_at(col("sig"), b * rows + r + 1), lit(minhashP)))
 
   /** LSH candidate pairs from banded MinHash signatures, verified with exact
     * Jaccard. Output (a, b, jac) with jac ≥ `threshold` — same shape as
     * [[ngramJaccardPairs]], but reached without the all-pairs shingle join.
     * bands×rows must equal the signature length.
     *
-    * Scale shape: one shuffle builds the shared [[shingleSets]] table (persisted —
-    * signature and verify stages both read it); banding + bucket equi-join yields
-    * candidates proportional to true-duplicate density; verification intersects
-    * the two per-doc SORTED hash arrays with the codegen'd two-pointer merge
-    * ([[graft.expr.SortedIntersectCount]]) — no re-explosion of shingles into a
-    * row-per-(candidate, shingle) join as in round 1. */
+    * Scale shape: ONE shuffle builds the shared sets+signatures table
+    * ([[minhashSetsAndSignatures]], persisted — banding and verify both read
+    * it); banding + bucket equi-join yields candidates proportional to
+    * true-duplicate density; verification intersects the two per-doc SORTED
+    * hash arrays with the codegen'd two-pointer merge
+    * ([[graft.expr.SortedIntersectCount]]). Every stage is codegen'd — the
+    * portable hashes also make the whole pipeline DuckDB-oracle-checkable
+    * (round 2's last closable no-oracle row). */
   def minhashLshPairs(
       docs: DataFrame,
       k: Int = 5,
@@ -136,13 +164,18 @@ object Dedup {
     require(perms % bands == 0, "bands must divide perms")
     val rows = perms / bands
     graft.expr.SortedIntersectCount.register(docs.sparkSession)
-    val sets = graft.CacheTracker.persist(shingleSets(docs, k))
-    val banded = minhashSignaturesFromSets(sets, perms)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"),
-            xxhash64(b, slice(col("sig"), b * lit(rows) + lit(1), lit(rows))).as("bh")))).as("e"))
-      .select(col("doc_id"), col("e.band"), col("e.bh"))
+    // the hashed shingle rows are the one shared scan; signatures (codegen min
+    // aggs) and sets (collect_set for the verify joins) each reduce it once
+    // ONE pass hashes the text (explode + rolling hash) into per-doc sets; the
+    // signature aggregation then re-explodes the CACHED hash arrays — it never
+    // touches the text again
+    val sets = graft.CacheTracker.persist(setsFromHashes(shingleHashes(docs, k)))
+    val rehashed = sets.select(col("doc_id"), explode(col("xs")).as("x"))
+    // persisted: BOTH sides of the candidate self-join read it — unpersisted,
+    // the whole signature aggregation would run twice inside that job
+    val banded = graft.CacheTracker.persist(minhashSignaturesFromHashes(rehashed, perms)
+      .select(col("doc_id"), posexplode(array((0 until bands).map(bandHash(_, rows)): _*)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bh")))
     val candidates = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -95,6 +95,30 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash lsh plan joins only on long keys — never a shingle-string self-join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    import org.apache.spark.sql.types.StringType
+    val df = Dedup.minhashLshPairs(docsDF, k = 5, threshold = 0.3)
+    val joins = df.queryExecution.optimizedPlan.collect { case j: LJoin => j }
+    assert(joins.nonEmpty)
+    joins.foreach(_.condition.foreach(_.references.foreach(a =>
+      assert(a.dataType != StringType,
+        s"join key $a:${a.dataType} — the scale path must never self-join shingle text"))))
+    CacheTracker.release(spark)
+  }
+
+  test("LSH cluster dedup equals the exact-anchor clusters on the sf0.001 documents table") {
+    val docsT = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def canon(name: String) =
+      SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = canon("dedup_cluster_canonical")
+    val lsh = canon("dedup_cluster_canonical_lsh")
+    assert(docsT.count() > 0)
+    assert(lsh === exact) // same threshold, full recall on this corpus ⇒ same closure
+    CacheTracker.release(spark)
+  }
+
   test("simhash banded near-dup pairs equal brute force, no cartesian in the plan") {
     // whitespace-only difference (docs 0/1) → identical token stream → hamming 0,
     // so the corpus always has at least one qualifying pair
