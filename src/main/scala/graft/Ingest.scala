@@ -65,13 +65,16 @@ object Ingest {
   def edgesFromTranscripts(
       transcripts: DataFrame,
       pid: org.apache.spark.sql.Column => org.apache.spark.sql.Column = participantId): DataFrame = {
-    val participants = transcripts
+    val raw = transcripts
       .select(col("conv_id"), col("role").as("p"))
       .unionAll(
         transcripts.where(col("tool").isNotNull)
           .select(col("conv_id"), col("tool").as("p")))
-      .groupBy("conv_id")
-      .agg(sort_array(collect_set(pid(col("p")))).as("ps"))
+      .select(col("conv_id"), pid(col("p")).as("pid"))
+    // salted two-phase collect_set: a hot conversation (millions of turns) would
+    // otherwise push every row through the single reducer owning its conv_id —
+    // identical output to groupBy(conv_id).agg(sort_array(collect_set(pid)))
+    val participants = Salting.saltedCollectSetSorted(raw, "conv_id", "pid", "ps")
     // All ordered pairs (i < j) from each conversation's sorted participant array.
     participants
       .select(explode(expr(

@@ -65,15 +65,15 @@ object PageRank {
     var iter = startIter
     var converged = false
     while (iter < maxIter && !converged) {
-      val contribs = links
+      // No per-iteration vertex left-join: the graph is symmetrized, so every
+      // vertex has an in-neighbor and appears in the contribution aggregate —
+      // the join would re-emit exactly these rows (one join + shuffle less per
+      // iteration; the round-2 driver bench spent a third of PageRank there).
+      val next = links
         .join(ranks.withColumnRenamed("v", "src"), "src")
         .select(col("dst").as("v"), (col("pr") / col("deg")).as("c"))
         .groupBy("v")
-        .agg(sum("c").as("s"))
-      val next = verts
-        .join(contribs, Seq("v"), "left")
-        .select(col("v"),
-          (lit(base) + lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))
+        .agg((lit(base) + lit(damping) * sum("c")).as("pr"))
         // LAZY checkpoint: in tol mode the convergence delta action materializes
         // it in the same job; in fixed-iteration mode all iterations pipeline into
         // the final action as one job instead of one eager job per iteration —

@@ -38,6 +38,22 @@ object Salting {
       .groupBy(col(key))
       .agg(array_sort(flatten(collect_list(col("_part")))).as(alias))
 
+  /** Skew-safe equivalent of
+    * `df.groupBy(key).agg(sort_array(collect_set(value)) as alias)`: phase 1
+    * groups by (key, salt-of-value) — a hot key's values spread over `salts`
+    * reducers, and the per-salt sets are DISJOINT because the salt is a
+    * function of the value — phase 2 flattens and sorts. Wired into the
+    * production transcript ingest ([[Ingest.edgesFromTranscripts]]): a
+    * conversation with millions of turns would otherwise funnel every row
+    * through the one reducer owning its conv_id. */
+  def saltedCollectSetSorted(
+      df: DataFrame, key: String, value: String, alias: String, salts: Int = 16): DataFrame =
+    df
+      .groupBy(col(key), saltOf(col(value), salts).as("_salt"))
+      .agg(collect_set(col(value)).as("_part"))
+      .groupBy(col(key))
+      .agg(sort_array(flatten(collect_list(col("_part")))).as(alias))
+
   /** Skew-safe inner equi-join of a large skewed table against a small table:
     * the small side is replicated `salts`× (one copy per salt), the big side joins
     * on (key, deterministic salt) — a hot key's rows spread across `salts` tasks.

@@ -36,6 +36,12 @@ object ScalingBench {
         val o = oriented().persist()
         TriangleCount.globalAdjacency(spark, o, GraphCore.adjacency(o).persist())
       }),
+      // the out-of-core fallback, forced to 4 shards — evidences that the
+      // beyond-executor-memory plan also completes and scales on a 32M-edge input
+      "triangles_sharded" -> (() => {
+        val o = oriented().persist()
+        TriangleCount.globalAdjacencySharded(spark, o, GraphCore.adjacency(o).persist(), 4)
+      }),
       "pagerank_5iter" -> (() => PageRank.fixedIterations(edges, 5)),
       "components" -> (() => Components.run(edges)),
       "lpa_2step" -> (() => LabelProp.run(edges, 2)))
@@ -79,14 +85,31 @@ object ScalingBench {
     spark.stop()
   }
 
+  /** Equality evidence at scale: broadcast vs sharded triangle counts on the
+    * same input must agree bit-for-bit. */
+  private def check(path: String, shards: Int): Unit = {
+    val spark = Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    val edges = spark.read.parquet(path).persist()
+    val o = GraphCore.orient(edges, GraphCore.degrees(edges)).persist()
+    val adj = GraphCore.adjacency(o).persist()
+    val full = TriangleCount.globalAdjacency(spark, o, adj).first().getLong(0)
+    val shd = TriangleCount.globalAdjacencySharded(spark, o, adj, shards).first().getLong(0)
+    println(s"""{"check":"$path","shards":$shards,"triangles_broadcast":$full,"triangles_sharded":$shd,"equal":${full == shd}}""")
+    spark.stop()
+    if (full != shd) sys.exit(1)
+  }
+
   def main(args: Array[String]): Unit = args.toList match {
     case "gen" :: nConvs :: nTools :: path :: Nil =>
       gen(nConvs.toLong, nTools.toInt, path)
     case "measure" :: path :: cpus :: rest =>
       measure(path, cpus.toInt,
         rest.headOption.map(_.toInt).getOrElse(2), rest.drop(1).headOption)
+    case "check" :: path :: shards :: Nil =>
+      check(path, shards.toInt)
     case _ =>
-      System.err.println("usage: ScalingBench gen <nConvs> <nTools> <path> | measure <path> <cpus> [reps] [kernel]")
+      System.err.println("usage: ScalingBench gen <nConvs> <nTools> <path> | measure <path> <cpus> [reps] [kernel] | check <path> <shards>")
       sys.exit(2)
   }
 }

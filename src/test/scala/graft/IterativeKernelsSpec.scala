@@ -90,6 +90,23 @@ class PageRankSpec extends AnyFunSuite {
     got.foreach { case (v, p) => assert(math.abs(p - more(v)) < 1e-6, s"v=$v") }
   }
 
+  test("pagerank_converged matches the committed sf0.01 golden within 1e-6") {
+    // pins the one remaining no-oracle row to an artifact: regressions in the
+    // convergence loop surface as a diff against the checked-in ranks instead
+    // of hiding behind the DuckDB-impossibility waiver
+    val golden = scala.io.Source
+      .fromInputStream(getClass.getResourceAsStream("/pagerank_converged_sf001.csv"))
+      .getLines().drop(1)
+      .map { l => val a = l.split(","); a(0).toLong -> a(1).toDouble }.toMap
+    assert(golden.size === 150)
+    val got = SparkEntry.queries("pagerank_converged")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === golden.keySet)
+    got.foreach { case (v, p) => assert(math.abs(p - golden(v)) <= 1e-6, s"v=$v") }
+    assert(math.abs(got.values.sum - 1.0) < 1e-3) // rounded to 6dp, still ~a distribution
+    SparkEntry.releaseCaches(spark)
+  }
+
   test("checkpoint + resume mid-run reproduces the uninterrupted result") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val canonical = GraphCore.clean(edgeDF(fixtures.nvgraph8)).localCheckpoint(true)

@@ -17,6 +17,18 @@ class SaltingSpec extends AnyFunSuite {
     assert(salted === plain)
   }
 
+  test("saltedCollectSetSorted equals plain sort_array(collect_set) including a hot key") {
+    import spark.implicits._
+    val rows = (0L until 2000L).map(i => ("hot", i % 37)) ++ // heavy key, duplicate values
+      (0L until 50L).map(i => (s"k${i % 7}", i))
+    val df = rows.toDF("k", "v")
+    val plain = df.groupBy(col("k")).agg(sort_array(collect_set(col("v"))).as("vs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val salted = Salting.saltedCollectSetSorted(df, "k", "v", "vs", salts = 8)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(salted === plain)
+  }
+
   test("saltedJoinSmall equals plain inner join on a skewed key") {
     val big = (0L until 3000L).map(i => (if (i % 10 < 9) 42L else i % 5, i)).toDF("k", "payload")
     val small = Seq((42L, "hot"), (0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "name")
