@@ -4,12 +4,15 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.expr.DotProduct
+
 /** Similarity search over the `embeddings` table (vec_id, embedding: array<float>,
   * label).
   *
   * [[bruteForceCosineTopK]] is the exact baseline: query-set × corpus cosine with a
-  * per-query top-k window. The dot product is a codegen'd higher-order fold
-  * (`zip_with` + `aggregate`) — no UDFs.
+  * per-query top-k window. The dot product is the codegen'd
+  * [[graft.expr.DotProduct]] expression — one compiled loop, no UDFs, no
+  * interpreted higher-order functions.
   *
   * [[lshCosineTopK]] is the scale path: random-hyperplane (SimHash-style) bucketing
   * — each vector gets a `planes`-bit signature from deterministic hash-derived ±1
@@ -19,25 +22,26 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** (vec_id, emb: array<double>, nrm: double) with zero-norm guard. */
+  /** (vec_id, emb: array<double>, nrm: double) with zero-norm guard. Requires
+    * [[graft.expr.DotProduct]] registered (every public operator does). */
   private def normed(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      .withColumn("nrm", sqrt(aggregate(col("emb"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
       .where(col("nrm") > 0)
 
-  /** Sequential-fold dot product (same accumulation order as the zip_with form
-    * and DuckDB's list folds — identical doubles) without materializing the
-    * product array per pair: the exact-verify stages evaluate this once per
-    * candidate pair, where the intermediate alloc was measurable. */
+  /** Codegen'd dot product ([[graft.expr.DotProduct]] — one compiled loop, same
+    * left-to-right IEEE accumulation as the interpreted fold it replaced and as
+    * DuckDB's list folds, so oracle comparisons stay bit-for-bit). The round-2
+    * interpreted `aggregate` fold dominated every similarity query's CPU. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(sequence(lit(0), size(a) - 1), lit(0.0),
-      (s, j) => s + element_at(a, j.cast("int") + 1) * element_at(b, j.cast("int") + 1))
+    call_function(DotProduct.name, a, b)
 
   /** Exact cosine top-k for every query vector (`vec_id % queryMod == 0`), self
     * excluded. Output (q_id, nbr_id, score, rnk), score rounded to 6, rnk 1..k with
     * deterministic (score desc, nbr_id asc) tie-break. */
   def bruteForceCosineTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 25): DataFrame = {
+    DotProduct.register(embeddings.sparkSession)
     // persisted: referenced twice (query side + corpus side) — unpersisted, the
     // norm fold over every embedding ran twice per query (round-2 audit)
     val n = graft.CacheTracker.persist(normed(embeddings))
@@ -72,17 +76,14 @@ object Similarity {
     * Distinct `from` ranges give independent plane sets (the banding primitive). */
   private def rhSignatureRange(embName: String, dim: Int, from: Int, count: Int): Column = {
     require(count <= 62, "signature must fit a non-negative long")
-    // flattened count×dim literal plane matrix + power table (constant-folded once)
-    val h = typedLit((0 until count).flatMap(b => (0 until dim).map(j => planeSign(from + b, j))))
-    val pow2 = typedLit((0 until count).map(b => 1L << b))
-    aggregate(
-      sequence(lit(0), lit(count - 1)), lit(0L),
-      (acc, b) => acc + when(
-        aggregate(
-          sequence(lit(0), lit(dim - 1)), lit(0.0),
-          (s, j) => s + element_at(col(embName), j.cast("int") + lit(1)) *
-            element_at(h, (b * lit(dim) + j).cast("int") + lit(1))) >= 0,
-        element_at(pow2, b.cast("int") + lit(1))).otherwise(lit(0L)))
+    // one codegen'd DotProduct per plane against its literal row of the plane
+    // matrix, summed — no higher-order function anywhere; the projection fold
+    // order (0.0 + Σ e_j·h_j left-to-right) is unchanged, so the bucket bits
+    // stay bit-identical to the oracle's list_reduce
+    (0 until count).map { b =>
+      val plane = typedLit((0 until dim).map(j => planeSign(from + b, j)))
+      when(dot(col(embName), plane) >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
   }
 
   private def rhSignature(embName: String, dim: Int, planes: Int): Column =
@@ -93,6 +94,7 @@ object Similarity {
     * [[lshCosineTopK]]'s hyperplane signature and verify within buckets — same
     * two-tier pattern as [[graft.docs.Dedup.minhashLshPairs]]. */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    DotProduct.register(embeddings.sparkSession)
     val n = normed(embeddings)
     val a = n.select(col("vec_id").as("a"), col("emb").as("ea"), col("nrm").as("na"))
     val b = n.select(col("vec_id").as("b"), col("emb").as("eb"), col("nrm").as("nb"))
@@ -121,6 +123,7 @@ object Similarity {
       threshold: Double,
       planes: Int = 5,
       bands: Int = 40): DataFrame = {
+    DotProduct.register(embeddings.sparkSession)
     val n = graft.CacheTracker.persist(normed(embeddings)) // banding pass + both verify sides
     val banded = n.select(col("vec_id"),
         posexplode(array((0 until bands).map(b =>
@@ -158,6 +161,7 @@ object Similarity {
       queryMod: Int = 25,
       centMod: Int = 50,
       nProbe: Int = 2): DataFrame = {
+    DotProduct.register(embeddings.sparkSession)
     val n = graft.CacheTracker.persist(normed(embeddings)) // corpus, centroid, and query views
     val cents = n.where(pmod(col("vec_id"), lit(centMod)) === 0)
       .select(col("vec_id").as("c_id"), col("emb").as("ce"), col("nrm").as("cn"))
@@ -204,6 +208,7 @@ object Similarity {
       k: Int = 5,
       queryMod: Int = 25,
       planes: Int = 8): DataFrame = {
+    DotProduct.register(embeddings.sparkSession)
     val n = normed(embeddings)
       .withColumn("bucket", rhSignature("emb", dim, planes))
     val q = n.select(col("vec_id").as("q_id"), col("emb").as("qe"),

@@ -108,3 +108,40 @@ class SortedIntersectCountSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq === Seq(0L, 0L))
   }
 }
+
+class DotProductSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("equals the sequential aggregate fold bit-for-bit on random vectors") {
+    val s = spark
+    import s.implicits._
+    graft.expr.DotProduct.register(spark)
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(300)((
+      Array.fill(64)(rnd.nextDouble() * 2 - 1),
+      Array.fill(64)(rnd.nextDouble() * 2 - 1)))
+    val df = rows.toDF("a", "b").select(
+      call_function(graft.expr.DotProduct.name, col("a"), col("b")).as("got"),
+      aggregate(sequence(lit(0), size(col("a")) - 1), lit(0.0),
+        (acc, j) => acc + element_at(col("a"), j.cast("int") + 1) *
+          element_at(col("b"), j.cast("int") + 1)).as("want"))
+    // bit-for-bit: the codegen loop accumulates in the same left-to-right order
+    assert(df.where(col("got") =!= col("want")).count() === 0L)
+    assert(df.count() === 300L)
+  }
+
+  test("empty arrays dot to 0.0; length mismatch is a hard error") {
+    val s = spark
+    import s.implicits._
+    graft.expr.DotProduct.register(spark)
+    val z = Seq((Array.empty[Double], Array.empty[Double])).toDF("a", "b")
+      .select(call_function(graft.expr.DotProduct.name, col("a"), col("b")))
+      .collect().head.getDouble(0)
+    assert(z === 0.0)
+    val bad = Seq((Array(1.0, 2.0), Array(1.0))).toDF("a", "b")
+      .select(call_function(graft.expr.DotProduct.name, col("a"), col("b")))
+    val e = intercept[Exception] { bad.collect() }
+    assert(e.toString.contains("length mismatch") ||
+      Option(e.getCause).exists(_.toString.contains("length mismatch")))
+  }
+}
