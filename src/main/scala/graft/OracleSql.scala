@@ -564,6 +564,20 @@ object OracleSql {
        |WHERE round(list_dot_product(na.emb, nb.emb) / (na.nrm * nb.nrm), 6) >= $threshold""".stripMargin
   }
 
+  /** Twin of the embedding-space cluster dedup: transitive closure over the
+    * [[embedLshNearDupPairs]] edge set (embedded as a subquery — one source of
+    * truth), min vec_id per cluster, singletons map to themselves. */
+  def embedClusterCanonical(dim: Int, threshold: Double, planes: Int, bands: Int): String =
+    s"""WITH RECURSIVE p AS (SELECT * FROM (${embedLshNearDupPairs(dim, threshold, planes, bands)}) t),
+       |ud AS (SELECT a AS u, b AS w FROM p UNION ALL SELECT b AS u, a AS w FROM p),
+       |r(v, l) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM ud)
+       |  UNION
+       |  SELECT ud.w, r.l FROM r JOIN ud ON ud.u = r.v),
+       |m AS (SELECT v, min(l) AS c FROM r GROUP BY v)
+       |SELECT e.vec_id, coalesce(m.c, e.vec_id) AS canonical_id
+       |FROM embeddings e LEFT JOIN m ON m.v = e.vec_id""".stripMargin
+
   /** Twin of [[graft.docs.Similarity.ivfCosineTopK]]. The centroid assignment
     * compares UNROUNDED cosines, so every float op mirrors the Spark side's
     * sequential folds bit-for-bit (list_reduce over list_transform = the same

@@ -203,6 +203,19 @@ object SparkEntry {
     "embed_neardup_pairs_lsh" -> ((s, d) =>
       docs.Similarity.lshNearDupPairs(Ingest.table(s, d, "embeddings"), dim = 64,
         threshold = 0.4, planes = 5, bands = 40)),
+    // the embedding-space dedup endgame (semantic dedup): banded-LSH near-dup
+    // pairs -> Components closure -> min-id canonical per cluster — the same
+    // composition as dedup_cluster_canonical_lsh but over the vector modality
+    "embed_cluster_canonical" -> ((s, d) => {
+      val emb = Ingest.table(s, d, "embeddings")
+      val pairs = docs.Similarity.lshNearDupPairs(emb, dim = 64, threshold = 0.4,
+        planes = 5, bands = 40).select(col("a").as("src"), col("b").as("dst"))
+      val comp = Components.run(pairs).withColumnRenamed("v", "vec_id")
+      emb.select(col("vec_id"))
+        .join(comp, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("component"), col("vec_id")).as("canonical_id"))
+    }),
     // IVF: the data-adaptive ANN scale path (centroid inverted lists + nProbe),
     // deterministic end-to-end and hence fully oracle-checked
     "embed_ivf_topk" -> ((s, d) =>
@@ -314,6 +327,7 @@ object SparkEntry {
     "sessionize" -> OracleSql.sessionize(1800),
     "dedup_cluster_canonical" -> OracleSql.dedupClusterCanonical(5, 0.35),
     "minhash_lsh_pairs" -> OracleSql.minhashLshPairs(5, 64, 16, 0.35),
-    "dedup_cluster_canonical_lsh" -> OracleSql.dedupClusterCanonicalLsh(5, 64, 16, 0.35)
+    "dedup_cluster_canonical_lsh" -> OracleSql.dedupClusterCanonicalLsh(5, 64, 16, 0.35),
+    "embed_cluster_canonical" -> OracleSql.embedClusterCanonical(64, 0.4, 5, 40)
   )
 }
