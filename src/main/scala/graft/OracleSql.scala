@@ -367,6 +367,30 @@ object OracleSql {
        |SELECT d.doc_id, coalesce(m.c, d.doc_id) AS canonical_id
        |FROM documents d LEFT JOIN m ON m.v = d.doc_id""".stripMargin
 
+  /** Twin of [[graft.docs.Curation.stratifiedSample]]: the deterministic
+    * per-stratum keep decision over the [[langId]] oracle (embedded — one
+    * source of truth), same affine hash arithmetic. */
+  def stratifiedSample(rates: Seq[(String, Int)], defaultRate: Int): String = {
+    val rateCase = rates.foldRight(defaultRate.toString) { case ((lang, r), acc) =>
+      s"CASE WHEN lang_pred = '$lang' THEN $r ELSE $acc END"
+    }
+    s"""WITH l AS ($langId)
+       |SELECT doc_id, lang_pred,
+       |       ((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 < ($rateCase) AS keep
+       |FROM l""".stripMargin
+  }
+
+  /** Twin of [[graft.docs.Curation.tokenPackShards]]: greedy prefix-sum packing
+    * over the [[langId]] + [[tokenCount]] oracles. */
+  def tokenPackShards(budget: Long): String =
+    s"""WITH l AS ($langId), t AS ($tokenCount)
+       |SELECT l.doc_id, l.lang_pred, t.n_tokens,
+       |       CAST(floor(CAST(coalesce(sum(t.n_tokens) OVER (
+       |         PARTITION BY l.lang_pred ORDER BY l.doc_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |         / $budget.0) AS BIGINT) AS shard
+       |FROM l JOIN t ON t.doc_id = l.doc_id""".stripMargin
+
   /** Local clustering coefficient per vertex: 2·T(v) / (d(v)·(d(v)−1)). */
   val clusteringCoeff: String =
     s"""WITH $graphCtes,

@@ -167,6 +167,14 @@ object SparkEntry {
     "lang_id" -> ((s, d) => docs.TextOps.langId(Ingest.table(s, d, "documents"))),
     "quality_score" -> ((s, d) => docs.TextOps.qualityScore(Ingest.table(s, d, "documents"))),
     "doc_fingerprint" -> ((s, d) => docs.TextOps.fingerprint(Ingest.table(s, d, "documents"))),
+    // --- training-data pipeline: curation (sampling / packing) -------------------
+    // deterministic per-language downsampling (hash-derived, retry-stable)
+    "stratified_sample" -> ((s, d) =>
+      docs.Curation.stratifiedSample(Ingest.table(s, d, "documents"),
+        rates = Seq("en" -> 30, "de" -> 60), defaultRate = 100)),
+    // greedy token-budget shard packing per language (sequence-packing prep)
+    "token_pack_shards" -> ((s, d) =>
+      docs.Curation.tokenPackShards(Ingest.table(s, d, "documents"), budget = 5000L)),
     // --- training-data pipeline: dedup -------------------------------------------
     "dedup_exact" -> ((s, d) => docs.Dedup.exact(Ingest.table(s, d, "documents"))),
     "ngram_jaccard_pairs" -> ((s, d) =>
@@ -328,6 +336,8 @@ object SparkEntry {
     "dedup_cluster_canonical" -> OracleSql.dedupClusterCanonical(5, 0.35),
     "minhash_lsh_pairs" -> OracleSql.minhashLshPairs(5, 64, 16, 0.35),
     "dedup_cluster_canonical_lsh" -> OracleSql.dedupClusterCanonicalLsh(5, 64, 16, 0.35),
-    "embed_cluster_canonical" -> OracleSql.embedClusterCanonical(64, 0.4, 5, 40)
+    "embed_cluster_canonical" -> OracleSql.embedClusterCanonical(64, 0.4, 5, 40),
+    "stratified_sample" -> OracleSql.stratifiedSample(Seq("en" -> 30, "de" -> 60), 100),
+    "token_pack_shards" -> OracleSql.tokenPackShards(5000L)
   )
 }

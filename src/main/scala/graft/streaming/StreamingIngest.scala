@@ -60,6 +60,28 @@ object StreamingIngest {
       .dropDuplicatesWithinWatermark("h1", "h2")
       .select(col("doc_id"), col("ts"), col("text"))
 
+  /** Streaming gap-based sessionization of an events stream (event_id, user_id,
+    * ts) — the incremental twin of the oracled batch [[graft.Ingest.sessionize]],
+    * via Spark's native `session_window` (the idiomatic streaming form: dynamic
+    * event-time windows that extend while events arrive within `gap` and close
+    * once the watermark passes end-of-session). One row per CLOSED session:
+    * (user_id, session_start, session_end, n_events) with
+    * session_end = last event + gap, the standard session-window contract.
+    * State tracks open sessions only — not history — so it holds at stream
+    * scale for the same reason [[dedupDocuments]] does. */
+  def sessionizeEvents(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   final case class ConvState(turns: Int, participants: Set[String], lastTs: Long)
   final case class ConvUpdate(conv_id: String, turns: Int, n_participants: Int, closed: Boolean)
 

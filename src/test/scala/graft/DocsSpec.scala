@@ -143,6 +143,51 @@ class DedupSpec extends AnyFunSuite {
   }
 }
 
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docsT = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("stratified sample: deterministic, rate-0 drops all, rate-100 keeps all") {
+    val all = docs.Curation.stratifiedSample(docsT, rates = Seq.empty, defaultRate = 100)
+    assert(all.where(!col("keep")).count() === 0L)
+    val none = docs.Curation.stratifiedSample(docsT, rates = Seq.empty, defaultRate = 0)
+    assert(none.where(col("keep")).count() === 0L)
+    val a = docs.Curation.stratifiedSample(docsT, Seq("en" -> 30), 100)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val b = docs.Curation.stratifiedSample(docsT, Seq("en" -> 30), 100)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(a === b) // retry-stable: pure function of the data
+    // and the sampled stratum is actually downsampled
+    val en = docs.Curation.stratifiedSample(docsT, Seq("en" -> 30), 100)
+      .where(col("lang_pred") === "en")
+    val kept = en.where(col("keep")).count().toDouble
+    val total = en.count().toDouble
+    assert(total > 0 && kept < total, s"kept $kept of $total")
+  }
+
+  test("token pack shards: per-stratum budgets respected, shards contiguous from 0") {
+    val budget = 2000L
+    val got = docs.Curation.tokenPackShards(docsT, budget)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    got.groupBy(_._2).foreach { case (lang, rows) =>
+      val byShard = rows.groupBy(_._4).view.mapValues(_.map(_._3).sum).toMap
+      val shards = byShard.keys.toSeq.sorted
+      assert(shards === (0L until shards.length.toLong), s"$lang shards must be contiguous")
+      assert(byShard.values.sum === rows.map(_._3).sum)
+      // greedy prefix invariant: a shard never overfills BEFORE its closing doc —
+      // sum minus the shard's last doc is strictly under budget
+      rows.groupBy(_._4).foreach { case (_, docsIn) =>
+        val sorted = docsIn.sortBy(_._1)
+        val withoutLast = sorted.dropRight(1).map(_._3).sum
+        assert(withoutLast < budget, s"$lang shard overfilled before its closing doc")
+      }
+    }
+  }
+}
+
 class SimilaritySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._

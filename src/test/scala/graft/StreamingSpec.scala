@@ -74,6 +74,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionization equals the batch sessionize-derived session windows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-sess").toString
+    val spark0 = spark
+    import spark0.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    // user 1: two sessions split by a 45-min gap; user 2: one session
+    Seq(
+      (10L, 1L, ts(0)), (11L, 1L, ts(10)), (12L, 1L, ts(20)),
+      (13L, 1L, ts(65)), (14L, 1L, ts(70)),
+      (20L, 2L, ts(5)), (21L, 2L, ts(6)))
+      .toDF("event_id", "user_id", "ts")
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val q = StreamingIngest.sessionizeEvents(
+        spark.readStream.schema(schema).parquet(dir), gap = "30 minutes")
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // flush: a far-future event advances the watermark past every session end
+      Seq((99L, 9L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00")))
+        .toDF("event_id", "user_id", "ts").write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val streamed = spark.table("sessions")
+        .where(col("session_start") < "2029-01-01")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)) -> r.getLong(3)).toMap
+      // batch twin: session windows derived from the oracled gap sessionize
+      val batch = Ingest.sessionize(
+          spark.read.parquet(dir).where(col("ts") < "2029-01-01"), gapSeconds = 1800)
+        .join(spark.read.parquet(dir).select(col("event_id"), col("ts")), "event_id")
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(min(col("ts")).as("s"),
+          (max(col("ts")) + expr("INTERVAL 30 MINUTES")).as("e"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3)) -> r.getLong(4)).toMap
+      assert(streamed.size === 3)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("conversation progress: running state counts turns and participants per conversation") {
     val dir = stageTranscripts(10, 6)
     val q = StreamingIngest.conversationProgress(spark,
