@@ -110,6 +110,65 @@ object Ingest {
           .over(byUser.rowsBetween(Window.unboundedPreceding, 0)).as("session_idx"))
   }
 
+  /** Two-level (bucketed) gap sessionization — the scale path beside
+    * [[sessionize]]'s per-user window, now code instead of prose: a single
+    * pathological user with billions of events no longer funnels through one
+    * sorted task.
+    *
+    *  1. events bucket by coarse time (`bucketSeconds`); the gap rule runs
+    *     inside each (user, bucket) window in parallel — no task ever sorts
+    *     more than one user-bucket;
+    *  2. a per-(user, bucket) summary (first/last timestamp, local session
+    *     count — ONE row per user-bucket, tiny at any scale) is stitched with
+    *     a per-user window over bucket order: bucket b's first local session
+    *     merges into the previous bucket's last session iff the boundary gap
+    *     is within `gapSeconds`;
+    *  3. the broadcastable stitch table joins back to re-base local indices.
+    *
+    * Same two-level-scan family as [[GraphCore.csrBlocks]]. Output and
+    * semantics IDENTICAL to [[sessionize]] (same oracle; differential test in
+    * IngestSpec): boundary events of adjacent present buckets are exactly the
+    * consecutive event pairs the single window would compare. */
+  def sessionizeScalable(
+      events: DataFrame,
+      gapSeconds: Long,
+      bucketSeconds: Long = 86400L): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val gapUs = gapSeconds * 1000000L
+    val bucketUs = bucketSeconds * 1000000L
+    val e = events.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("bkt", floor(col("us") / bucketUs))
+    val byUserBkt = Window.partitionBy(col("user_id"), col("bkt"))
+      .orderBy(col("us"), col("event_id"))
+    val local = e
+      .withColumn("prev_us", lag(col("us"), 1).over(byUserBkt))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("loc", sum(col("new_sess"))
+        .over(byUserBkt.rowsBetween(Window.unboundedPreceding, 0)))
+      .transform(CacheTracker.persist) // read twice: summary + final re-base join
+    val summary = local.groupBy("user_id", "bkt").agg(
+      min(col("us")).as("first_us"),
+      max(col("us")).as("last_us"),
+      max(col("loc")).as("n_loc"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("bkt"))
+    val stitched = summary
+      .withColumn("prev_last", lag(col("last_us"), 1).over(byUser))
+      .withColumn("merged",
+        when(col("prev_last").isNotNull && col("first_us") - col("prev_last") <= gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("base",
+        coalesce(sum(col("n_loc") - col("merged"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("user_id"), col("bkt"), col("merged"), col("base"))
+    local.join(stitched, Seq("user_id", "bkt"))
+      .select(col("event_id"), col("user_id"),
+        // merged first local session continues the previous bucket's LAST
+        // session (global index = base); otherwise local index re-bases on top
+        (col("base") + col("loc") - col("merged")).as("session_idx"))
+  }
+
   /** Stable participant id used by [[edgesFromTranscripts]], exposed so tests and
     * downstream lookups can reverse the mapping via a dimension table. */
   def participantId(name: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -153,6 +153,12 @@ object SparkEntry {
     // gap-based sessionization of the events stream (30-minute gap)
     "sessionize" -> ((s, d) =>
       Ingest.sessionize(Ingest.table(s, d, "events"), gapSeconds = 1800)),
+    // the two-level (bucketed) scale path — 1-hour buckets force real boundary
+    // stitching at this data's density; output contract identical to sessionize,
+    // so it shares the same oracle
+    "sessionize_scalable" -> ((s, d) =>
+      Ingest.sessionizeScalable(Ingest.table(s, d, "events"),
+        gapSeconds = 1800, bucketSeconds = 3600)),
     // --- relational sanity ------------------------------------------------------
     "q1_agg" -> ((s, d) =>
       Ingest.table(s, d, "lineitem")
@@ -333,6 +339,7 @@ object SparkEntry {
     "transitivity" -> OracleSql.transitivity,
     "corpus_clean_stats" -> OracleSql.corpusCleanStats,
     "sessionize" -> OracleSql.sessionize(1800),
+    "sessionize_scalable" -> OracleSql.sessionize(1800),
     "dedup_cluster_canonical" -> OracleSql.dedupClusterCanonical(5, 0.35),
     "minhash_lsh_pairs" -> OracleSql.minhashLshPairs(5, 64, 16, 0.35),
     "dedup_cluster_canonical_lsh" -> OracleSql.dedupClusterCanonicalLsh(5, 64, 16, 0.35),

@@ -33,6 +33,41 @@ class IngestSpec extends AnyFunSuite {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
   }
 
+  test("sessionizeScalable: bucketed stitch equals the single-window sessionize") {
+    val s0 = spark
+    import s0.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(s: Long) = new java.sql.Timestamp(t0.getTime + s * 1000)
+    // hand-built boundary zoo (gap 1800s, buckets 3600s):
+    //  user 10: one session SPANNING three buckets (every gap < 1800 but events
+    //           straddle bucket edges), then a real split
+    //  user 20: session ends exactly at a bucket edge; next starts > gap later
+    //  user 30: boundary gap exactly == gapSeconds (stays merged)
+    val ev = Seq(
+      (1L, 10L, ts(3000)), (2L, 10L, ts(4000)), (3L, 10L, ts(5500)),
+      (4L, 10L, ts(7100)), (5L, 10L, ts(8000)), (6L, 10L, ts(12000)),
+      (7L, 20L, ts(3599)), (8L, 20L, ts(3600)), (9L, 20L, ts(9999)),
+      (10L, 30L, ts(3000)), (11L, 30L, ts(4800))
+    ).toDF("event_id", "user_id", "ts")
+    val single = Ingest.sessionize(ev, gapSeconds = 1800).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val bucketed = Ingest.sessionizeScalable(ev, gapSeconds = 1800, bucketSeconds = 3600)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(bucketed === single)
+    CacheTracker.release(spark)
+  }
+
+  test("sessionizeScalable equals sessionize on the sf0.01 events table at 1-hour buckets") {
+    val ev = Ingest.table(spark, "/root/testdata/sf0.01", "events")
+    val single = Ingest.sessionize(ev, gapSeconds = 1800).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val bucketed = Ingest.sessionizeScalable(ev, gapSeconds = 1800, bucketSeconds = 3600)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(bucketed.size === single.size)
+    assert(bucketed === single)
+    CacheTracker.release(spark)
+  }
+
   test("per-turn text equality under stable (conv_id, turn_idx) ordering round-trip (input_hint invariant)") {
     val t = Transcripts.synth(spark, 50, 20)
     val dir = java.nio.file.Files.createTempDirectory("graft-transcripts").toString
