@@ -100,6 +100,13 @@ object SparkEntry {
       val o = orientedOf(s, d)
       TriangleCount.perVertexAdjacency(canonical(s, d), o, GraphCore.adjacency(o))
     }),
+    // out-of-core per-vertex twin (forced 3 shards) — credit partials roll up
+    // per block pair, so no job ever holds more than two adjacency blocks
+    "triangles_per_vertex_sharded" -> ((s, d) => {
+      val o = orientedOf(s, d)
+      TriangleCount.perVertexAdjacencySharded(s, canonical(s, d), o,
+        CacheTracker.persist(GraphCore.adjacency(o)), 3)
+    }),
     "clustering_coeff" -> ((s, d) => {
       val c = canonical(s, d)
       val deg = GraphCore.degrees(c)
@@ -312,6 +319,7 @@ object SparkEntry {
     "triangles_adj_sharded" -> OracleSql.trianglesGlobal,
     "triangles_per_vertex" -> OracleSql.trianglesPerVertex,
     "triangles_per_vertex_adj" -> OracleSql.trianglesPerVertex,
+    "triangles_per_vertex_sharded" -> OracleSql.trianglesPerVertex,
     "connected_components" -> OracleSql.connectedComponents,
     "pagerank_10iter" -> OracleSql.pagerankFixed(10),
     "lpa_2step" -> OracleSql.lpaFixed(2),

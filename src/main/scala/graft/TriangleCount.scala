@@ -201,6 +201,64 @@ object TriangleCount {
     Seq(total).toDF("triangles")
   }
 
+  /** Out-of-core per-vertex triangle counts — the sharded-broadcast twin of
+    * [[perVertexAdjacency]], same 2D chunk-pair tiling as
+    * [[globalAdjacencySharded]]. Each pair job materializes its (v, cnt)
+    * credit partials (endpoint + witness credits of that pair's edges — longs,
+    * never arrays) into a rolling accumulator that is re-aggregated and
+    * lineage-truncated per pair (`localCheckpoint`), so at any moment the
+    * resident state is two adjacency blocks plus one vertex-sized count table.
+    * Results identical to [[perVertexAdjacency]]. */
+  def perVertexAdjacencySharded(
+      spark: SparkSession,
+      canonical: DataFrame,
+      oriented: DataFrame,
+      adj: DataFrame,
+      shards: Int): DataFrame = {
+    require(shards >= 1, "shards must be positive")
+    val blocks = GraphCore.csrBlocks(adj, shards).select(col("v"), col("block"))
+    val adjB = CacheTracker.persist(adj.join(blocks, "v").select(col("v"), col("nbrs"), col("block")))
+    val eB = CacheTracker.persist(oriented
+      .join(blocks.select(col("v").as("src"), col("block").as("bs")), "src")
+      .join(blocks.select(col("v").as("dst"), col("block").as("bd")), "dst")
+      .select(col("src"), col("dst"), col("bs"), col("bd")))
+    val present = eB.groupBy("bs", "bd").agg(count(lit(1)))
+      .select(col("bs"), col("bd")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(identity)
+    var acc: DataFrame = null
+    present.foreach { case (i, j) =>
+      val aU = broadcast(adjB.where(col("block") === i)
+        .select(col("v").as("src"), col("nbrs").as("nbrs_u")))
+      val aV = broadcast(adjB.where(col("block") === j)
+        .select(col("v").as("dst"), col("nbrs").as("nbrs_v")))
+      val withW = eB.where(col("bs") === i && col("bd") === j)
+        .join(aU, "src")
+        .join(aV, "dst")
+        .select(col("src"), col("dst"),
+          array_intersect(col("nbrs_u"), col("nbrs_v")).as("ws"))
+        .where(size(col("ws")) > 0)
+      val credits = withW
+        .select(col("src").as("v"), size(col("ws")).cast("long").as("c"))
+        .unionAll(withW.select(col("dst").as("v"), size(col("ws")).cast("long").as("c")))
+        .unionAll(withW.select(explode(col("ws")).as("v"), lit(1L).as("c")))
+        .groupBy("v").agg(sum("c").as("cnt"))
+      val next = (if (acc == null) credits
+        else acc.unionAll(credits).groupBy("v").agg(sum(col("cnt")).as("cnt")))
+        // EAGER checkpoint: materializes this pair's job (so only its two
+        // broadcasts are ever live) and truncates the accumulator's lineage
+        .localCheckpoint(true)
+      acc = next
+    }
+    val corners = if (acc == null) {
+      import spark.implicits._
+      Seq.empty[(Long, Long)].toDF("v", "cnt")
+    } else acc
+    GraphCore.vertices(canonical)
+      .join(corners, Seq("v"), "left")
+      .select(col("v"), coalesce(col("cnt"), lit(0L)).as("tri_cnt"))
+  }
+
   /** One chunk-pair partial: edges of block pair (i, j) probe the two broadcast
     * adjacency blocks and reduce to a single count. Factored out so tests can
     * assert the plan shape (broadcast hash joins only — no sort-merge join ever

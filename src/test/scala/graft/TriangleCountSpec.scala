@@ -96,6 +96,32 @@ class TriangleCountSpec extends AnyFunSuite {
     }
   }
 
+  test("sharded per-vertex counts equal the broadcast per-vertex form") {
+    for ((name, es) <- Seq("nvgraph8" -> fixtures.nvgraph8, "selfLoop" -> fixtures.selfLoop)) {
+      val canonical = GraphCore.clean(edgeDF(es))
+      val oriented = GraphCore.orient(canonical, GraphCore.degrees(canonical))
+      val adj = GraphCore.adjacency(oriented)
+      val want = TriangleCount.perVertexAdjacency(canonical, oriented, adj)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      for (k <- Seq(1, 3)) {
+        val got = TriangleCount.perVertexAdjacencySharded(spark, canonical, oriented, adj, k)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === want, s"$name @ $k shards")
+      }
+    }
+    val rnd = new scala.util.Random(21)
+    val es = Seq.fill(500)((rnd.nextInt(70).toLong, rnd.nextInt(70).toLong))
+    val canonical = GraphCore.clean(edgeDF(es))
+    val oriented = GraphCore.orient(canonical, GraphCore.degrees(canonical))
+    val adj = GraphCore.adjacency(oriented)
+    val want = TriangleCount.perVertexAdjacency(canonical, oriented, adj)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = TriangleCount.perVertexAdjacencySharded(spark, canonical, oriented, adj, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    CacheTracker.release(spark)
+  }
+
   test("globalAdjacency auto-selects the sharded path above the broadcast threshold") {
     val oriented = GraphCore.orientClean(edgeDF(fixtures.nvgraph8))
     val adj = GraphCore.adjacency(oriented)
