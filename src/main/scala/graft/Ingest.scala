@@ -49,6 +49,50 @@ object Ingest {
     GraphCore.clean(pairs)
   }
 
+  /** Two-level (bucketed) twin of [[edgesFromEvents]] — the scale path for the
+    * temporal co-occurrence derivation: [[edgesFromEvents]] windows by
+    * `event_type` alone, so a corpus with few types would sort entire types in
+    * single tasks at 100×. Here the lag runs inside (event_type, time-bucket)
+    * windows in parallel, and the one missing pair per bucket border (last
+    * event of the previous present bucket → first event of the next) is
+    * recovered from a per-(type, bucket) summary — ONE row per bucket, stitched
+    * with a per-type window over bucket order, the same two-level pattern as
+    * [[sessionizeScalable]] / [[GraphCore.csrBlocks]]. Output identical to
+    * [[edgesFromEvents]] (same oracle; differential test in IngestSpec). */
+  def edgesFromEventsScalable(
+      spark: SparkSession,
+      sfDir: String,
+      bucketSeconds: Long = 86400L): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val bucketUs = bucketSeconds * 1000000L
+    val events = table(spark, sfDir, "events")
+      .select(col("event_type"), col("ts"), col("event_id"), col("user_id"))
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("bkt", floor(col("us") / bucketUs))
+    val byTypeBkt = Window.partitionBy(col("event_type"), col("bkt"))
+      .orderBy(col("ts"), col("event_id"))
+    val within = events
+      .withColumn("prev", lag(col("user_id"), 1).over(byTypeBkt))
+      .select(col("user_id").as("src"), col("prev").as("dst"))
+    // per-(type, bucket) first/last user — one row per present bucket
+    val ranked = events
+      .withColumn("rn_a", row_number().over(byTypeBkt))
+      .withColumn("rn_d", row_number().over(
+        Window.partitionBy(col("event_type"), col("bkt"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+    val summary = ranked.where(col("rn_a") === 1 || col("rn_d") === 1)
+      .groupBy(col("event_type"), col("bkt"))
+      .agg(
+        max(when(col("rn_a") === 1, col("user_id"))).as("first_user"),
+        max(when(col("rn_d") === 1, col("user_id"))).as("last_user"))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("bkt"))
+    val boundary = summary
+      .withColumn("prev_last", lag(col("last_user"), 1).over(byType))
+      .where(col("prev_last").isNotNull)
+      .select(col("first_user").as("src"), col("prev_last").as("dst"))
+    GraphCore.clean(within.unionAll(boundary))
+  }
+
   /** Canonical participant co-occurrence edges from a transcripts table.
     *
     * Participants of a conversation = its distinct `role` values ∪ its distinct

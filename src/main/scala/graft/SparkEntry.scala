@@ -70,6 +70,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- sources / graph derivation -------------------------------------------
     "edges_events" -> ((s, d) => canonical(s, d)),
+    // two-level (bucketed) twin of the events derivation — 1-hour buckets force
+    // real boundary stitching at this data's density; same output, same oracle
+    "edges_events_scalable" -> ((s, d) =>
+      Ingest.edgesFromEventsScalable(s, d, bucketSeconds = 3600)),
     "degrees" -> ((s, d) => GraphCore.degrees(canonical(s, d))),
     "oriented_edges" -> ((s, d) => orientedOf(s, d)),
     "adjacency_csv" -> ((s, d) =>
@@ -310,6 +314,7 @@ object SparkEntry {
     * payload substrings by construction (MultimodalSpec slices them back). */
   def oracleSql: Map[String, String] = Map(
     "edges_events" -> OracleSql.edges,
+    "edges_events_scalable" -> OracleSql.edges,
     "degrees" -> OracleSql.degrees,
     "oriented_edges" -> OracleSql.oriented,
     "adjacency_csv" -> OracleSql.adjacencyCsv,

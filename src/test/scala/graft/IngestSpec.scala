@@ -68,6 +68,19 @@ class IngestSpec extends AnyFunSuite {
     CacheTracker.release(spark)
   }
 
+  test("edgesFromEventsScalable equals edgesFromEvents on sf0.01 at 1-hour buckets") {
+    val single = Ingest.edgesFromEvents(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Ingest.edgesFromEventsScalable(spark, "/root/testdata/sf0.01", 3600)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed === single)
+    assert(single.nonEmpty)
+    // and with pathologically tiny buckets (every event pair crosses a border)
+    val tiny = Ingest.edgesFromEventsScalable(spark, "/root/testdata/sf0.01", 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tiny === single)
+  }
+
   test("per-turn text equality under stable (conv_id, turn_idx) ordering round-trip (input_hint invariant)") {
     val t = Transcripts.synth(spark, 50, 20)
     val dir = java.nio.file.Files.createTempDirectory("graft-transcripts").toString
