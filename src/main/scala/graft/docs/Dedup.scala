@@ -14,6 +14,15 @@ import org.apache.spark.sql.functions._
   * bucket equi-join that only pairs documents sharing a band — candidate count tracks
   * true-duplicate count, not |docs|². Verified candidates then get the exact Jaccard
   * on a join restricted to candidates.
+  *
+  * Bucket skew: a band bucket with B members yields B(B−1)/2 candidates, and a
+  * megabucket (boilerplate duplicated millions of times) is quadratic BY
+  * SEMANTICS — those pairs really are near-duplicates the query contract must
+  * emit, so no lossless cap exists at the pair level. The production answer is
+  * the CLUSTER form ([[graft.SparkEntry]] `dedup_cluster_canonical_lsh`): once
+  * the goal is components rather than the pair list, a megabucket's members can
+  * be chained through their verified neighbors instead of enumerated all-pairs
+  * — AQE's skew-join split handles the bucket join's task balance meanwhile.
   */
 object Dedup {
 

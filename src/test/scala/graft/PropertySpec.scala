@@ -126,6 +126,45 @@ class PropertySpec extends AnyFunSuite {
       TriangleCount.globalAdjacency(spark, oriented, adj).first().getLong(0))
   }
 
+  test("two-level stitches equal their single-window twins on random streams (4 seeds × 3 bucket sizes)") {
+    val s0 = spark
+    import s0.implicits._
+    for (seed <- 31 to 34) {
+      val rnd = new scala.util.Random(seed)
+      val t0 = java.sql.Timestamp.valueOf("2026-03-01 00:00:00").getTime
+      // clustered timestamps (bursts + gaps) so sessions and bucket borders interact;
+      // duplicate timestamps exercise the (ts, event_id) tie-break across borders
+      var cur = 0L
+      val rows = (1L to 400L).map { id =>
+        cur += (if (rnd.nextDouble() < 0.15) rnd.nextInt(7200).toLong else rnd.nextInt(600).toLong)
+        val ts = new java.sql.Timestamp(t0 + (cur - (cur % (if (rnd.nextDouble() < 0.1) 60L else 1L))) * 1000L)
+        (id, rnd.nextInt(5).toLong, ts, s"type-${rnd.nextInt(3)}")
+      }
+      val ev = rows.map(r => (r._1, r._2, r._3)).toDF("event_id", "user_id", "ts")
+      val single = Ingest.sessionize(ev, gapSeconds = 900).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      for (bucketSec <- Seq(60L, 1800L, 86400L)) {
+        val got = Ingest.sessionizeScalable(ev, gapSeconds = 900, bucketSeconds = bucketSec)
+          .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+        assert(got === single, s"sessionize seed=$seed bucket=$bucketSec")
+      }
+      // events-derivation twin on the same stream (event_type column as the stream key)
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-prop-ev$seed")
+      rows.map(r => (r._1, r._2, r._3, r._4))
+        .toDF("event_id", "user_id", "ts", "event_type")
+        .write.mode("overwrite").parquet(dir.resolve("events.parquet").toString)
+      val sfDir = dir.toString
+      val singleE = Ingest.edgesFromEvents(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      for (bucketSec <- Seq(60L, 3600L)) {
+        val gotE = Ingest.edgesFromEventsScalable(spark, sfDir, bucketSec).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(gotE === singleE, s"edges seed=$seed bucket=$bucketSec")
+      }
+      CacheTracker.release(spark)
+    }
+  }
+
   test("transcript ingest: edge derivation is row-order-insensitive") {
     (2 to 10 by 4).foreach { nConvs =>
       val t = Transcripts.synth(spark, nConvs.toLong, 8, nTools = 16)
