@@ -70,7 +70,19 @@ object TriangleCount {
       canonical: DataFrame,
       oriented: DataFrame,
       adj: DataFrame,
-      broadcastAdj: Boolean = true): DataFrame = {
+      broadcastAdj: Boolean = true,
+      maxBroadcastBytes: Long = defaultMaxBroadcastBytes): DataFrame = {
+    if (broadcastAdj) {
+      // same auto-select contract as [[globalAdjacency]]: beyond the broadcast
+      // budget, fall through to the chunk-pair sharded form
+      val bytes = adjacencyBytes(adj)
+      if (bytes > maxBroadcastBytes) {
+        val shards = math.max(2L, (2L * bytes + maxBroadcastBytes - 1) / maxBroadcastBytes)
+          .min(1024L).toInt
+        return perVertexAdjacencySharded(
+          canonical.sparkSession, canonical, oriented, adj, shards)
+      }
+    }
     // broadcast by default for the same reason as [[globalAdjacency]]
     def side(a: DataFrame) = if (broadcastAdj) broadcast(a) else a
     val adjU = side(adj.select(col("v").as("src"), col("nbrs").as("nbrs_u")))
@@ -171,7 +183,15 @@ object TriangleCount {
     *
     * Total work: each edge is processed in exactly one pair job (each triangle
     * counted once); adjacency blocks are re-broadcast ≤ 2·shards times, the
-    * price of never holding the full CSR — the same trade the reference makes. */
+    * price of never holding the full CSR — the same trade the reference makes.
+    *
+    * Job count is ≤ shards² (the reference's split kernel enumerates the same
+    * split_num² chunk pairs, main.cpp:87-90) — so size `maxBroadcastBytes` to
+    * the executor budget and keep shards in the tens-to-hundreds; the
+    * auto-select cap of 1024 shards bounds the worst case. At MPI-like scale
+    * the reference divides the pair list across ranks; the Spark analog — a
+    * small pool of concurrent pair jobs (each itself distributed, memory bound
+    * = pool × 2 blocks) — is a scheduler knob on top of this same plan. */
   def globalAdjacencySharded(
       spark: SparkSession,
       oriented: DataFrame,

@@ -131,6 +131,17 @@ class TriangleCountSpec extends AnyFunSuite {
     assert(got === 3L)
   }
 
+  test("perVertexAdjacency auto-selects the sharded path above the broadcast threshold") {
+    val canonical = GraphCore.clean(edgeDF(fixtures.nvgraph8))
+    val oriented = GraphCore.orient(canonical, GraphCore.degrees(canonical))
+    val adj = GraphCore.adjacency(oriented)
+    val got = TriangleCount.perVertexAdjacency(canonical, oriented, adj,
+        maxBroadcastBytes = 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 2L, 5L -> 1L))
+    CacheTracker.release(spark)
+  }
+
   test("sharded pair jobs use broadcast hash joins — no sort-merge join of array payloads") {
     val oriented = GraphCore.orientClean(edgeDF(fixtures.nvgraph8))
     val adj = GraphCore.adjacency(oriented)
