@@ -55,10 +55,17 @@ class TriangleCountSpec extends AnyFunSuite {
     assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 2L, 5L -> 1L))
   }
 
-  test("empty graph counts zero on both paths") {
+  test("empty graph counts zero on all paths (relational, adjacency, sharded)") {
     val empty = Seq.empty[(Long, Long)]
     assert(relational(empty) === 0L)
     assert(adjacency(empty) === 0L)
+    assert(sharded(empty, 3) === 0L)
+    val canonical = GraphCore.clean(edgeDF(empty))
+    val oriented = GraphCore.orient(canonical, GraphCore.degrees(canonical))
+    val pv = TriangleCount.perVertexAdjacencySharded(
+      spark, canonical, oriented, GraphCore.adjacency(oriented), 3)
+    assert(pv.count() === 0L)
+    CacheTracker.release(spark)
   }
 
   test("triangle-free graph (star) counts zero") {
