@@ -85,19 +85,26 @@ object ScalingBench {
     spark.stop()
   }
 
-  /** Equality evidence at scale: broadcast vs sharded triangle counts on the
-    * same input must agree bit-for-bit. */
+  /** Equality evidence at scale: broadcast vs sharded forms on the same input
+    * must agree bit-for-bit — the global count AND every per-vertex count. */
   private def check(path: String, shards: Int): Unit = {
     val spark = Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
     val edges = spark.read.parquet(path).persist()
     val o = GraphCore.orient(edges, GraphCore.degrees(edges)).persist()
     val adj = GraphCore.adjacency(o).persist()
     val full = TriangleCount.globalAdjacency(spark, o, adj).first().getLong(0)
     val shd = TriangleCount.globalAdjacencySharded(spark, o, adj, shards).first().getLong(0)
-    println(s"""{"check":"$path","shards":$shards,"triangles_broadcast":$full,"triangles_sharded":$shd,"equal":${full == shd}}""")
+    val pvB = TriangleCount.perVertexAdjacency(edges, o, adj)
+    val pvS = TriangleCount.perVertexAdjacencySharded(spark, edges, o, adj, shards)
+    val pvDiff = pvB.withColumnRenamed("tri_cnt", "b")
+      .join(pvS.withColumnRenamed("tri_cnt", "s"), Seq("v"), "full")
+      .where(col("b").isNull || col("s").isNull || col("b") =!= col("s"))
+      .count()
+    println(s"""{"check":"$path","shards":$shards,"triangles_broadcast":$full,"triangles_sharded":$shd,"per_vertex_mismatches":$pvDiff,"equal":${full == shd && pvDiff == 0}}""")
     spark.stop()
-    if (full != shd) sys.exit(1)
+    if (full != shd || pvDiff != 0) sys.exit(1)
   }
 
   def main(args: Array[String]): Unit = args.toList match {
