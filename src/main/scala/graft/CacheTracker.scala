@@ -35,12 +35,18 @@ object CacheTracker {
   private val tracked =
     new java.util.concurrent.ConcurrentLinkedQueue[(SparkSession, DataFrame)]()
 
-  /** Persist `df` and remember it for later [[release]]. */
+  /** Persist `df` and remember it for later [[release]]. Idempotent per
+    * handle: re-persisting an already-tracked DataFrame neither double-counts
+    * toward the bound nor double-unpersists on release. */
   def persist(df: DataFrame): DataFrame = {
     val persisted = df.persist() // track only after persist() succeeds
     val s = df.sparkSession
-    tracked.add((s, df))
-    while (trackedCount(s) > maxTrackedPerSession) evictOldest(s)
+    var seen = false
+    tracked.forEach(e => if ((e._1 eq s) && (e._2 eq df)) seen = true)
+    if (!seen) {
+      tracked.add((s, df))
+      while (trackedCount(s) > maxTrackedPerSession) evictOldest(s)
+    }
     persisted
   }
 
@@ -64,6 +70,10 @@ object CacheTracker {
       val e = it.next()
       if (e._1 eq spark) {
         it.remove()
+        // never silent: an operator still mid-pipeline would re-execute the
+        // evicted frame's plan on its next reference
+        System.err.println(
+          s"[CacheTracker] session over $maxTrackedPerSession tracked persists — evicting oldest")
         try e._2.unpersist(blocking = false)
         catch { case _: Throwable => () }
         done = true

@@ -74,17 +74,15 @@ object Ingest {
     val within = events
       .withColumn("prev", lag(col("user_id"), 1).over(byTypeBkt))
       .select(col("user_id").as("src"), col("prev").as("dst"))
-    // per-(type, bucket) first/last user — one row per present bucket
-    val ranked = events
-      .withColumn("rn_a", row_number().over(byTypeBkt))
-      .withColumn("rn_d", row_number().over(
-        Window.partitionBy(col("event_type"), col("bkt"))
-          .orderBy(col("ts").desc, col("event_id").desc)))
-    val summary = ranked.where(col("rn_a") === 1 || col("rn_d") === 1)
+    // per-(type, bucket) first/last user — one row per present bucket, via
+    // map-side-combinable min_by/max_by on the (ts, event_id) order key (no
+    // extra window sorts over the full event table; the unique key makes the
+    // pick deterministic)
+    val summary = events
       .groupBy(col("event_type"), col("bkt"))
       .agg(
-        max(when(col("rn_a") === 1, col("user_id"))).as("first_user"),
-        max(when(col("rn_d") === 1, col("user_id"))).as("last_user"))
+        min_by(col("user_id"), struct(col("ts"), col("event_id"))).as("first_user"),
+        max_by(col("user_id"), struct(col("ts"), col("event_id"))).as("last_user"))
     val byType = Window.partitionBy(col("event_type")).orderBy(col("bkt"))
     val boundary = summary
       .withColumn("prev_last", lag(col("last_user"), 1).over(byType))

@@ -102,7 +102,10 @@ object SparkEntry {
       TriangleCount.perVertex(canonical(s, d), orientedOf(s, d))),
     "triangles_per_vertex_adj" -> ((s, d) => {
       val o = orientedOf(s, d)
-      TriangleCount.perVertexAdjacency(canonical(s, d), o, GraphCore.adjacency(o))
+      // persisted: the auto-select size probe is an eager aggregation over the
+      // adjacency, and the plan then reads it from both broadcast sides
+      TriangleCount.perVertexAdjacency(canonical(s, d), o,
+        CacheTracker.persist(GraphCore.adjacency(o)))
     }),
     // out-of-core per-vertex twin (forced 3 shards) — credit partials roll up
     // per block pair, so no job ever holds more than two adjacency blocks
@@ -118,7 +121,7 @@ object SparkEntry {
       // triangles_per_vertex/_adj twin oracles): materializes O(#triangles)
       // intersection rows, not the O(m^1.5) wedge set — the 100× shape
       val o = orientedOf(s, d)
-      TriangleCount.perVertexAdjacency(c, o, GraphCore.adjacency(o))
+      TriangleCount.perVertexAdjacency(c, o, CacheTracker.persist(GraphCore.adjacency(o)))
         .join(deg, "v")
         .select(col("v"), col("deg"), col("tri_cnt"),
           round(
@@ -231,16 +234,11 @@ object SparkEntry {
     // the embedding-space dedup endgame (semantic dedup): banded-LSH near-dup
     // pairs -> Components closure -> min-id canonical per cluster — the same
     // composition as dedup_cluster_canonical_lsh but over the vector modality
-    "embed_cluster_canonical" -> ((s, d) => {
-      val emb = Ingest.table(s, d, "embeddings")
-      val pairs = docs.Similarity.lshNearDupPairs(emb, dim = 64, threshold = 0.4,
-        planes = 5, bands = 40).select(col("a").as("src"), col("b").as("dst"))
-      val comp = Components.run(pairs).withColumnRenamed("v", "vec_id")
-      emb.select(col("vec_id"))
-        .join(comp, Seq("vec_id"), "left")
-        .select(col("vec_id"),
-          coalesce(col("component"), col("vec_id")).as("canonical_id"))
-    }),
+    "embed_cluster_canonical" -> ((s, d) =>
+      clusterCanonical(Ingest.table(s, d, "embeddings"),
+        t => docs.Similarity.lshNearDupPairs(t, dim = 64, threshold = 0.4,
+          planes = 5, bands = 40),
+        idCol = "vec_id")),
     // IVF: the data-adaptive ANN scale path (centroid inverted lists + nProbe),
     // deterministic end-to-end and hence fully oracle-checked
     "embed_ivf_topk" -> ((s, d) =>
@@ -291,14 +289,18 @@ object SparkEntry {
 
   /** The near-dup clustering endgame (pairs alone under-deduplicate chains):
     * similarity pairs → connected components → min-id canonical per cluster;
-    * singleton docs map to themselves. */
-  private def clusterCanonical(docsT: DataFrame, pairsOf: DataFrame => DataFrame): DataFrame = {
-    val pairs = pairsOf(docsT).select(col("a").as("src"), col("b").as("dst"))
-    val comp = Components.run(pairs).withColumnRenamed("v", "doc_id")
-    docsT.select(col("doc_id"))
-      .join(comp, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("component"), col("doc_id")).as("canonical_id"))
+    * singleton items map to themselves. `idCol` is the item id column of
+    * `table` ("doc_id" for text, "vec_id" for embeddings). */
+  private def clusterCanonical(
+      table: DataFrame,
+      pairsOf: DataFrame => DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val pairs = pairsOf(table).select(col("a").as("src"), col("b").as("dst"))
+    val comp = Components.run(pairs).withColumnRenamed("v", idCol)
+    table.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("canonical_id"))
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the same

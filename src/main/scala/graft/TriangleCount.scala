@@ -303,6 +303,7 @@ object TriangleCount {
   /** End-to-end global count via the adjacency/merge form. */
   def countPairsAdjacency(spark: SparkSession, pairs: DataFrame): DataFrame = {
     val oriented = GraphCore.orientClean(pairs)
-    globalAdjacency(spark, oriented, GraphCore.adjacency(oriented))
+    // persisted: the auto-select size probe aggregates the adjacency eagerly
+    globalAdjacency(spark, oriented, CacheTracker.persist(GraphCore.adjacency(oriented)))
   }
 }

@@ -1,6 +1,6 @@
 package graft.docs
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -28,7 +28,10 @@ object Curation {
       "rates are percentages in [0, 100]")
     val p = 1000000007L
     val bucket = pmod(pmod(col("doc_id"), lit(p)) * lit(2654435761L), lit(p)) % lit(100L)
-    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (lang, r)) =>
+    require(rates.map(_._1).distinct.size == rates.size, "duplicate language in rates")
+    // foldRight: FIRST entry wins on (disallowed) duplicates — the same
+    // precedence as the oracle's nested CASE, so the two can never diverge
+    val rate = rates.foldRight(lit(defaultRate): Column) { case ((lang, r), acc) =>
       when(col("lang_pred") === lang, lit(r)).otherwise(acc)
     }
     TextOps.langId(docs)

@@ -156,9 +156,10 @@ object Dedup {
     * [[ngramJaccardPairs]], but reached without the all-pairs shingle join.
     * bands×rows must equal the signature length.
     *
-    * Scale shape: ONE shuffle builds the shared sets+signatures table
-    * ([[minhashSetsAndSignatures]], persisted — banding and verify both read
-    * it); banding + bucket equi-join yields candidates proportional to
+    * Scale shape: ONE pass over the text builds the persisted per-doc hash
+    * sets ([[shingleSets]] via [[shingleHashes]]); the signature aggregation
+    * ([[minhashSignaturesFromHashes]]) re-explodes the CACHED hash arrays;
+    * banding + bucket equi-join yields candidates proportional to
     * true-duplicate density; verification intersects the two per-doc SORTED
     * hash arrays with the codegen'd two-pointer merge
     * ([[graft.expr.SortedIntersectCount]]). Every stage is codegen'd — the

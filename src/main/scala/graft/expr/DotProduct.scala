@@ -18,7 +18,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * `list_dot_product`, so every oracle comparison stays bit-for-bit (Java
   * forbids FMA contraction in `a += x * y`, so codegen cannot reorder it
   * either). Mismatched lengths are a hard error, matching the ANSI
-  * out-of-bounds behavior of the indexed fold it replaces. */
+  * out-of-bounds behavior of the indexed fold it replaces; a null ELEMENT on
+  * either side yields NULL, matching the fold's null-poisoning sum. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -37,6 +38,8 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def prettyName: String = DotProduct.name
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
@@ -46,7 +49,13 @@ case class DotProduct(left: Expression, right: Expression)
         s"$prettyName: length mismatch ($n vs ${ys.numElements()})")
     var i = 0
     var s = 0.0
-    while (i < n) { s += xs.getDouble(i) * ys.getDouble(i); i += 1 }
+    while (i < n) {
+      // null element poisons the sum to NULL — the fold this replaces did the
+      // same (null + x = null), and anything else would fabricate a score
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
+      s += xs.getDouble(i) * ys.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -63,6 +72,7 @@ case class DotProduct(left: Expression, right: Expression)
          |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $s += $a.getDouble($i) * $b.getDouble($i);
          |}
          |${ev.value} = $s;

@@ -178,6 +178,20 @@ class DotProductSpec extends AnyFunSuite {
     assert(df.count() === 300L)
   }
 
+  test("null array element poisons the dot product to NULL (fold parity)") {
+    val s = spark
+    import s.implicits._
+    graft.expr.DotProduct.register(spark)
+    val df = Seq(
+      (Seq(Option(1.0), None, Option(3.0)), Seq(Option(1.0), Option(2.0), Option(3.0))),
+      (Seq(Option(1.0), Option(2.0)), Seq(Option(4.0), Option(5.0))))
+      .toDF("a", "b")
+      .select(call_function(graft.expr.DotProduct.name, col("a"), col("b")).as("d"))
+    val rows = df.collect()
+    assert(rows(0).isNullAt(0), "null element must yield NULL, not a fabricated score")
+    assert(rows(1).getDouble(0) === 14.0)
+  }
+
   test("empty arrays dot to 0.0; length mismatch is a hard error") {
     val s = spark
     import s.implicits._
