@@ -108,10 +108,20 @@ object Dedup {
       ((h % minhashP) + minhashP) % minhashP
     }
 
-  /** Hashed shingle rows: (doc_id, x) with x = [[shingleHash]] of each distinct
-    * shingle — the shared map-side input of both MinHash stages. */
+  /** Hashed shingle rows: (doc_id, x) with x = [[shingleHash]] of the shingle
+    * at every position — the shared map-side input of both MinHash stages.
+    * Positions come from `posexplode(sequence(...))` + `substr`, which stays
+    * entirely inside codegen (the [[shingles]] form's per-doc `transform`
+    * lambda is interpreted); rows are NOT de-duplicated here — the downstream
+    * `collect_set` and `min` aggregates are duplicate-insensitive, so the
+    * distinct pass would be pure cost. */
   def shingleHashes(docs: DataFrame, k: Int = 5): DataFrame =
-    shingles(docs, k).select(col("doc_id"), shingleHash(col("sh"), k).as("x"))
+    docs
+      .where(length(col("text")) >= k)
+      .select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(1), length(col("text")) - lit(k - 1))))
+      .select(col("doc_id"),
+        shingleHash(col("text").substr(col("col"), lit(k)), k).as("x"))
 
   /** MinHash signatures from hashed shingle rows: the `perms` permutation minima
     * as plain `min` aggregates — one fully codegen'd HashAggregate with partial
