@@ -196,8 +196,10 @@ object TriangleCount {
       spark: SparkSession,
       oriented: DataFrame,
       adj: DataFrame,
-      shards: Int): DataFrame = {
+      shards: Int,
+      concurrency: Int = 1): DataFrame = {
     require(shards >= 1, "shards must be positive")
+    require(concurrency >= 1, "concurrency must be positive")
     SortedIntersectCount.register(spark)
     val blocks = GraphCore.csrBlocks(adj, shards).select(col("v"), col("block"))
     // (v, nbrs, block): the CSR with its block id — filtered per pair job
@@ -213,12 +215,30 @@ object TriangleCount {
       .select(col("bs"), col("bd")).collect() // ≤ shards² coordinates — tiny
       .map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(identity)
-    var total = 0L
-    present.foreach { case (i, j) =>
-      total += shardPairCount(eB, adjB, i, j).first().getLong(0)
+    // `concurrency` pair jobs in flight at once (the Spark analog of the
+    // reference dividing the chunk-pair list across MPI ranks,
+    // main.cpp:87-90): each job is itself distributed, so the pool only
+    // overlaps their fixed broadcast-build/schedule cost. Resident adjacency
+    // is bounded by concurrency × 2 blocks — size `shards` accordingly.
+    val total = new java.util.concurrent.atomic.AtomicLong(0L)
+    if (concurrency == 1) {
+      present.foreach { case (i, j) =>
+        total.addAndGet(shardPairCount(eB, adjB, i, j).first().getLong(0))
+      }
+    } else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(concurrency)
+      try {
+        val tasks = present.map { case (i, j) =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit =
+              total.addAndGet(shardPairCount(eB, adjB, i, j).first().getLong(0))
+          })
+        }
+        tasks.foreach(_.get()) // propagate the first failure
+      } finally pool.shutdown()
     }
     import spark.implicits._
-    Seq(total).toDF("triangles")
+    Seq(total.get()).toDF("triangles")
   }
 
   /** Out-of-core per-vertex triangle counts — the sharded-broadcast twin of

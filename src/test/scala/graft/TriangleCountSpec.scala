@@ -103,6 +103,20 @@ class TriangleCountSpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent pair-job pool yields the same count as the sequential loop") {
+    val rnd = new scala.util.Random(9)
+    val es = Seq.fill(500)((rnd.nextInt(70).toLong, rnd.nextInt(70).toLong))
+    val oriented = GraphCore.orientClean(edgeDF(es))
+    val adj = GraphCore.adjacency(oriented)
+    val seq = TriangleCount.globalAdjacencySharded(spark, oriented, adj, 4)
+      .first().getLong(0)
+    val conc = TriangleCount.globalAdjacencySharded(spark, oriented, adj, 4, concurrency = 3)
+      .first().getLong(0)
+    assert(conc === seq)
+    assert(seq === adjacency(es))
+    CacheTracker.release(spark)
+  }
+
   test("sharded per-vertex counts equal the broadcast per-vertex form") {
     for ((name, es) <- Seq("nvgraph8" -> fixtures.nvgraph8, "selfLoop" -> fixtures.selfLoop)) {
       val canonical = GraphCore.clean(edgeDF(es))
