@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Synchronous label propagation (Raghavan et al. 2007) with a fully deterministic
@@ -13,8 +12,9 @@ import org.apache.spark.sql.functions._
   * Not in the reference; required by BASELINE.json north_star.
   *
   * Scale shape: one shuffle per step for the (neighbor-label → count) aggregation and
-  * one for the per-vertex argmax window. The window partitions by vertex — no global
-  * sort — and the count aggregation is map-side combinable. Lineage truncated per
+  * one for the per-vertex argmax — a `max_by` aggregate (map-side combinable, no
+  * per-vertex sort), not a window: the round-3 `row_number` form re-shuffled AND
+  * sorted the whole count table per step just to pick the max. Lineage truncated per
   * step; durable checkpoints via [[Checkpoint]] when `checkpointDir` is set.
   */
 object LabelProp {
@@ -50,13 +50,13 @@ object LabelProp {
   /** One synchronous step: (v, label) → (v, label). Every vertex of `sym` has ≥1
     * neighbor, so the output covers the same vertex set. */
   private[graft] def step(sym: DataFrame, labels: DataFrame): DataFrame = {
-    val byCount = Window.partitionBy(col("v")).orderBy(col("n").desc, col("nlbl").asc)
+    // argmax by (count desc, label asc): maximize (n, -nlbl). Labels are vertex
+    // ids ≥ 0 in every ingest path, so -nlbl cannot overflow.
     sym
       .join(labels.select(col("v").as("src"), col("label").as("nlbl")), "src")
       .groupBy(col("dst").as("v"), col("nlbl"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("rn", row_number().over(byCount))
-      .where(col("rn") === 1)
-      .select(col("v"), col("nlbl").as("label"))
+      .groupBy("v")
+      .agg(max_by(col("nlbl"), struct(col("n"), -col("nlbl"))).as("label"))
   }
 }

@@ -376,7 +376,8 @@ object OracleSql {
     }
     s"""WITH l AS ($langId)
        |SELECT doc_id, lang_pred,
-       |       ((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 < ($rateCase) AS keep
+       |       ((((doc_id % 1000000007) + 1000000007) % 1000000007) * 2654435761)
+       |         % 1000000007 % 100 < ($rateCase) AS keep
        |FROM l""".stripMargin
   }
 

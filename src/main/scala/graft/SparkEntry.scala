@@ -195,6 +195,11 @@ object SparkEntry {
     // greedy token-budget shard packing per language (sequence-packing prep)
     "token_pack_shards" -> ((s, d) =>
       docs.Curation.tokenPackShards(Ingest.table(s, d, "documents"), budget = 5000L)),
+    // two-level twin (forced small buckets so the stitch really runs at this
+    // scale) — no per-stratum whole-data window in the plan; same oracle
+    "token_pack_shards_scalable" -> ((s, d) =>
+      docs.Curation.tokenPackShardsScalable(Ingest.table(s, d, "documents"),
+        budget = 5000L, bucketSize = 64L)),
     // --- training-data pipeline: dedup -------------------------------------------
     "dedup_exact" -> ((s, d) => docs.Dedup.exact(Ingest.table(s, d, "documents"))),
     "ngram_jaccard_pairs" -> ((s, d) =>
@@ -360,6 +365,7 @@ object SparkEntry {
     "dedup_cluster_canonical_lsh" -> OracleSql.dedupClusterCanonicalLsh(5, 64, 16, 0.35),
     "embed_cluster_canonical" -> OracleSql.embedClusterCanonical(64, 0.4, 5, 40),
     "stratified_sample" -> OracleSql.stratifiedSample(Seq("en" -> 30, "de" -> 60), 100),
-    "token_pack_shards" -> OracleSql.tokenPackShards(5000L)
+    "token_pack_shards" -> OracleSql.tokenPackShards(5000L),
+    "token_pack_shards_scalable" -> OracleSql.tokenPackShards(5000L)
   )
 }

@@ -38,6 +38,16 @@ object Curation {
       .select(col("doc_id"), col("lang_pred"), (bucket < rate).as("keep"))
   }
 
+  /** (doc_id, lang_pred, n_tokens) in ONE projection over one scan of the text —
+    * the shared input of both packing forms. The round-3 form joined the langId
+    * output with the tokenCount output on doc_id: two full text scans plus a
+    * join where a single map suffices. */
+  private[graft] def langTokens(docs: DataFrame): DataFrame = {
+    val (lang, _) = TextOps.langPredCols(col("text"))
+    docs.select(col("doc_id"), lang.as("lang_pred"),
+      TextOps.tokenCountCol(col("text")).as("n_tokens"))
+  }
+
   /** Greedy sequential packing of documents into token-budgeted shards, per
     * language stratum: docs ordered by doc_id, shard(d) = floor(prefix-sum of
     * tokens BEFORE d / budget) — the standard "fill shards to ~budget tokens"
@@ -45,18 +55,53 @@ object Curation {
     * still gets its own shard (the floor jumps past it), never splits.
     * Output (doc_id, lang_pred, n_tokens, shard).
     *
-    * Scale note: the per-stratum window is a single sorted pass per language —
-    * the same two-level-scan mitigation as [[graft.GraphCore.csrBlocks]]
-    * applies verbatim when one stratum outgrows a task (bucket by id range,
-    * local prefix sums, broadcast bucket offsets). */
+    * This form is the small-scale anchor: the per-stratum window is a single
+    * sorted pass per language, so a dominant-language stratum (often >50% of a
+    * corpus) is one task. [[tokenPackShardsScalable]] is the same contract with
+    * the two-level split. */
   def tokenPackShards(docs: DataFrame, budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val toks = TextOps.tokenCount(docs)
     val byLang = Window.partitionBy(col("lang_pred")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    TextOps.langId(docs).select(col("doc_id"), col("lang_pred"))
-      .join(toks, "doc_id")
+    langTokens(docs)
       .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
         floor(coalesce(sum(col("n_tokens")).over(byLang), lit(0L)) / budget).as("shard"))
+  }
+
+  /** Two-level twin of [[tokenPackShards]] — identical output (same oracle), no
+    * per-stratum whole-data window anywhere in the plan. Same two-level-scan
+    * family as [[graft.GraphCore.csrBlocks]] / `Ingest.sessionizeScalable`:
+    *
+    *  1. docs bucket by contiguous doc_id range (`doc_id div bucketSize` —
+    *     integral, order-preserving); the token prefix sum runs inside each
+    *     (lang, bucket) window in parallel — no task ever sorts more than one
+    *     stratum-bucket;
+    *  2. a per-(lang, bucket) token total (ONE row per bucket) gets a per-lang
+    *     prefix sum over bucket order — a window over the tiny summary table;
+    *  3. the summary joins back: global prefix = bucket base + local prefix,
+    *     shard = floor(prefix / budget). Prefix sums decompose exactly, so the
+    *     result is bit-identical to the single-window form (differential test
+    *     in DocsSpec). */
+  def tokenPackShardsScalable(docs: DataFrame, budget: Long, bucketSize: Long = 1L << 20): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(bucketSize > 0, "bucketSize must be positive")
+    // integral truncating division: monotone in doc_id, so buckets are
+    // contiguous id ranges and bucket order extends the in-bucket doc_id order
+    val bkt = call_function("div", col("doc_id"), lit(bucketSize)).as("bkt")
+    val byLangBkt = Window.partitionBy(col("lang_pred"), col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = langTokens(docs)
+      .select(col("doc_id"), col("lang_pred"), col("n_tokens"), bkt)
+      .withColumn("loc", coalesce(sum(col("n_tokens")).over(byLangBkt), lit(0L)))
+      .transform(graft.CacheTracker.persist) // read twice: summary + re-base join
+    val byLang = Window.partitionBy(col("lang_pred")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = local.groupBy("lang_pred", "bkt")
+      .agg(sum(col("n_tokens")).as("tot"))
+      .select(col("lang_pred"), col("bkt"),
+        coalesce(sum(col("tot")).over(byLang), lit(0L)).as("base"))
+    local.join(bases, Seq("lang_pred", "bkt"))
+      .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
+        floor((col("base") + col("loc")) / budget).as("shard"))
   }
 }

@@ -1,7 +1,6 @@
 package graft.docs
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table — the training-data-pipeline
@@ -42,22 +41,33 @@ object TextOps {
     "fr" -> Seq(" le ", " les ", " des "),
     "zh" -> Seq(" shi ", " bu ", " wo "))
 
+  /** Per-language marker scores of a text column, in ascending language order. */
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    langMarkers.map { case (lang, markers) =>
+      lang -> markers.map(m => markerCount(padded, m)).reduce(_ + _)
+    }.sortBy(_._1)
+  }
+
+  /** (lang_pred, score) columns: argmax over [[langScores]] with (score desc,
+    * lang asc) tie-break — `greatest` + a first-match `when` chain in ascending
+    * language order, all per-row arithmetic. */
+  def langPredCols(text: Column): (Column, Column) = {
+    val scored = langScores(text)
+    val best = greatest(scored.map(_._2): _*)
+    val lang = coalesce(scored.map { case (l, s) => when(s === best, lit(l)) }: _*)
+    (lang, best)
+  }
+
   /** Heuristic language id: per-language stopword-marker counts, argmax with
-    * (score desc, lang asc) tie-break. Output (doc_id, lang_pred, score). */
+    * (score desc, lang asc) tie-break. Output (doc_id, lang_pred, score).
+    *
+    * One per-row projection — no union, no shuffle, no window (the round-3 form
+    * unioned 5 scans of the text and ran a per-doc `row_number` window; the
+    * argmax is per-row arithmetic, so at 100 TB this is now a pure map). */
   def langId(docs: DataFrame): DataFrame = {
-    val padded = concat(lit(" "), lower(col("text")), lit(" "))
-    val scored = langMarkers.map { case (lang, markers) =>
-      docs.select(
-        col("doc_id"),
-        lit(lang).as("lang_pred"),
-        markers.map(m => markerCount(padded, m)).reduce(_ + _).as("score"))
-    }.reduce(_ unionAll _)
-    val best = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("lang_pred").asc)
-    scored
-      .withColumn("rn", row_number().over(best))
-      .where(col("rn") === 1)
-      .select(col("doc_id"), col("lang_pred"), col("score"))
+    val (lang, best) = langPredCols(col("text"))
+    docs.select(col("doc_id"), lang.as("lang_pred"), best.as("score"))
   }
 
   /** Quality score in [0,1]: alphabetic-character ratio, capped token count, capped

@@ -27,6 +27,13 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got === Map(0L -> "en", 1L -> "de", 2L -> "de"))
   }
 
+  test("lang id plans as one projection — no union, no window, no shuffle") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Union, Window => LWindow}
+    val plan = TextOps.langId(docsDF(0L -> "the cat and the dog")).queryExecution.optimizedPlan
+    assert(plan.collect { case u: Union => u }.isEmpty, "argmax must not union per-language scans")
+    assert(plan.collect { case w: LWindow => w }.isEmpty, "argmax must be per-row, not a window")
+  }
+
   test("quality score in [0,1] and monotone in alphabetic content") {
     val got = TextOps.qualityScore(docsDF(
         0L -> "the quick brown fox and the lazy dog of the field",
@@ -187,6 +194,49 @@ class CurationSpec extends AnyFunSuite {
         assert(withoutLast < budget, s"$lang shard overfilled before its closing doc")
       }
     }
+  }
+
+  test("two-level token packing equals the single-window form at several bucket sizes") {
+    val budget = 2000L
+    val anchor = docs.Curation.tokenPackShards(docsT, budget)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // tiny buckets (many stitches), mid, and one bucket spanning everything
+    Seq(16L, 128L, 1L << 40).foreach { bs =>
+      val got = docs.Curation.tokenPackShardsScalable(docsT, budget, bucketSize = bs)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+      assert(got === anchor, s"bucketSize=$bs diverged from the single-window anchor")
+      CacheTracker.release(spark)
+    }
+  }
+
+  test("two-level token packing handles negative doc ids (truncating div stays monotone)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val weird = (-40 to 40).map(i =>
+      (i.toLong * 7 - 3, (0 to rnd.nextInt(30)).map(_ => "tok").mkString(" ")))
+      .toDF("doc_id", "text")
+    val anchor = docs.Curation.tokenPackShards(weird, 50L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val got = docs.Curation.tokenPackShardsScalable(weird, 50L, bucketSize = 13L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got === anchor)
+    CacheTracker.release(spark)
+  }
+
+  test("two-level token packing plan: every per-stratum window is bucket-scoped or post-aggregate") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val plan = docs.Curation.tokenPackShardsScalable(docsT, 2000L, bucketSize = 64L)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val partCols = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+      val overBuckets = w.partitionSpec.size >= 2 // (lang_pred, bkt) — bucket-local
+      val aboveAgg = w.child.collectFirst { case a: Aggregate => a }.nonEmpty
+      assert(overBuckets || aboveAgg,
+        s"window over $partCols scans a whole stratum in one task — the round-3 scale-killer")
+    }
+    CacheTracker.release(spark)
   }
 }
 

@@ -154,4 +154,16 @@ class LabelPropSpec extends AnyFunSuite {
     val b = LabelProp.run(canonical, 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a === b)
   }
+
+  test("step plans the argmax as a map-side-combinable aggregate — no window node") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val canonical = GraphCore.clean(edgeDF(fixtures.nvgraph8))
+    val sym = GraphCore.symmetric(canonical)
+    val labels = GraphCore.vertices(canonical)
+      .select(org.apache.spark.sql.functions.col("v"),
+        org.apache.spark.sql.functions.col("v").as("label"))
+    val plan = LabelProp.step(sym, labels).queryExecution.optimizedPlan
+    assert(plan.collect { case w: LWindow => w }.isEmpty,
+      "round-3 row_number argmax re-shuffled and sorted the count table per step")
+  }
 }
