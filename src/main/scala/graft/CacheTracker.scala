@@ -35,6 +35,16 @@ object CacheTracker {
   private val tracked =
     new java.util.concurrent.ConcurrentLinkedQueue[(SparkSession, DataFrame)]()
 
+  private val evictions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.util.concurrent.atomic.AtomicLong]()
+
+  /** Bound-evictions observed for `spark` so far. An eviction means an operator
+    * pipeline lost a persisted intermediate mid-flight and silently recomputes —
+    * harnesses surface this count in their JSON (round-3 advice: stderr alone
+    * is invisible to the driver). */
+  def evictionCount(spark: SparkSession): Long =
+    Option(evictions.get(spark)).map(_.get()).getOrElse(0L)
+
   /** Persist `df` and remember it for later [[release]]. Idempotent per
     * handle: re-persisting an already-tracked DataFrame neither double-counts
     * toward the bound nor double-unpersists on release. */
@@ -72,6 +82,8 @@ object CacheTracker {
         it.remove()
         // never silent: an operator still mid-pipeline would re-execute the
         // evicted frame's plan on its next reference
+        evictions.computeIfAbsent(spark,
+          _ => new java.util.concurrent.atomic.AtomicLong(0L)).incrementAndGet()
         System.err.println(
           s"[CacheTracker] session over $maxTrackedPerSession tracked persists — evicting oldest")
         try e._2.unpersist(blocking = false)

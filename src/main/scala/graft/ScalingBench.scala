@@ -45,6 +45,14 @@ object ScalingBench {
         TriangleCount.globalAdjacencySharded(spark, o,
           GraphCore.adjacency(o).persist(), 4, concurrency = 2)
       }),
+      // per-vertex out-of-core twin with the same pair-job pool: its K is
+      // strictly larger (a vertex-sized credit checkpoint per pair), so the
+      // pool matters more here — the W/K row beside triangles_sharded
+      "pv_sharded" -> (() => {
+        val o = oriented().persist()
+        TriangleCount.perVertexAdjacencySharded(spark, edges, o,
+          GraphCore.adjacency(o).persist(), 4, concurrency = 2)
+      }),
       "pagerank_5iter" -> (() => PageRank.fixedIterations(edges, 5)),
       "components" -> (() => Components.run(edges)),
       "lpa_2step" -> (() => LabelProp.run(edges, 2)))
@@ -100,7 +108,9 @@ object ScalingBench {
     val full = TriangleCount.globalAdjacency(spark, o, adj).first().getLong(0)
     val shd = TriangleCount.globalAdjacencySharded(spark, o, adj, shards).first().getLong(0)
     val pvB = TriangleCount.perVertexAdjacency(edges, o, adj)
-    val pvS = TriangleCount.perVertexAdjacencySharded(spark, edges, o, adj, shards)
+    // concurrency 2: the equality evidence also covers the pooled merge path
+    val pvS = TriangleCount.perVertexAdjacencySharded(spark, edges, o, adj, shards,
+      concurrency = 2)
     val pvDiff = pvB.withColumnRenamed("tri_cnt", "b")
       .join(pvS.withColumnRenamed("tri_cnt", "s"), Seq("v"), "full")
       .where(col("b").isNull || col("s").isNull || col("b") =!= col("s"))

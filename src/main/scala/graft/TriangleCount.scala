@@ -71,16 +71,17 @@ object TriangleCount {
       oriented: DataFrame,
       adj: DataFrame,
       broadcastAdj: Boolean = true,
-      maxBroadcastBytes: Long = defaultMaxBroadcastBytes): DataFrame = {
+      maxBroadcastBytes: Long = AutoBroadcastBytes): DataFrame = {
     if (broadcastAdj) {
       // same auto-select contract as [[globalAdjacency]]: beyond the broadcast
       // budget, fall through to the chunk-pair sharded form
+      ensurePersisted(adj) // the size probe is an eager agg; the plan reads adj twice more
+      val budget = resolveMaxBroadcastBytes(adj.sparkSession, maxBroadcastBytes)
       val bytes = adjacencyBytes(adj)
-      if (bytes > maxBroadcastBytes) {
-        val shards = math.max(2L, (2L * bytes + maxBroadcastBytes - 1) / maxBroadcastBytes)
-          .min(1024L).toInt
+      if (bytes > budget) {
         return perVertexAdjacencySharded(
-          canonical.sparkSession, canonical, oriented, adj, shards)
+          canonical.sparkSession, canonical, oriented, adj, autoShards(bytes, budget),
+          concurrency = defaultPairConcurrency)
       }
     }
     // broadcast by default for the same reason as [[globalAdjacency]]
@@ -106,11 +107,71 @@ object TriangleCount {
       .select(col("v"), coalesce(col("cnt"), lit(0L)).as("tri_cnt"))
   }
 
-  /** Broadcast-size comfort threshold for [[globalAdjacency]]'s auto-select:
-    * adjacency estimated above this goes through [[globalAdjacencySharded]]
-    * (2 GiB — half of Spark's own 8 GiB broadcast-table hard limit, sized so two
-    * adjacency blocks plus the build-side hash maps fit a typical executor). */
+  /** Sentinel for `maxBroadcastBytes` parameters: resolve the budget from the
+    * session via [[resolveMaxBroadcastBytes]]. */
+  val AutoBroadcastBytes: Long = -1L
+
+  /** Floor of the auto-derived broadcast budget — and the fixed default when the
+    * session carries no sizing information (2 GiB: a quarter of Spark's own
+    * 8 GiB broadcast-table hard limit, sized so two adjacency blocks plus the
+    * build-side hash maps fit a typical executor). */
   val defaultMaxBroadcastBytes: Long = 2L << 30
+
+  /** Pair jobs in flight when an auto-selected sharded kernel runs — each job is
+    * itself distributed, so the pool only overlaps fixed broadcast-build cost;
+    * resident adjacency is bounded by 2 × this many blocks. */
+  val defaultPairConcurrency: Int = 4
+
+  /** Resolve the broadcast budget for the sharded auto-select. Priority:
+    * explicit non-negative argument > session conf `spark.graft.maxBroadcastBytes`
+    * (size string, e.g. "512m") > derived from `spark.executor.memory` ×
+    * `spark.memory.fraction` × 1/4 (two blocks + two broadcast hash maps live per
+    * pair job), floored at [[defaultMaxBroadcastBytes]] so a small or unset
+    * executor conf (e.g. local mode, where the driver JVM is the executor) never
+    * collapses the budget below the known-good constant. */
+  private[graft] def resolveMaxBroadcastBytes(spark: SparkSession, requested: Long): Long = {
+    if (requested >= 0) return requested
+    spark.conf.getOption("spark.graft.maxBroadcastBytes") match {
+      case Some(s) => org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)
+      case None =>
+        val execMem =
+          try spark.sparkContext.getConf.getSizeAsBytes("spark.executor.memory", 0L)
+          catch { case _: Throwable => 0L }
+        val frac =
+          try spark.sparkContext.getConf.getDouble("spark.memory.fraction", 0.6)
+          catch { case _: Throwable => 0.6 }
+        math.max(defaultMaxBroadcastBytes, (execMem * frac / 4).toLong)
+    }
+  }
+
+  /** Shard cap: bounds the ≤ shards² pair-job count (the reference's split
+    * kernel enumerates the same split_num² chunk pairs, main.cpp:87-90). */
+  private[graft] val maxShards = 1024L
+
+  /** Shard count so two adjacency blocks fit `maxBroadcastBytes`, capped at
+    * [[maxShards]]. Past the cap the two-blocks-fit invariant can no longer
+    * hold — warn loudly (round-3 advice: silent breakage at ~>1 TiB adjacency)
+    * rather than fail: the job may still complete on a large executor. */
+  private[graft] def autoShards(bytes: Long, maxBroadcastBytes: Long): Int = {
+    val raw = math.max(2L, (2L * bytes + maxBroadcastBytes - 1) / maxBroadcastBytes)
+    val shards = raw.min(maxShards).toInt
+    if (raw > maxShards)
+      System.err.println(
+        s"[TriangleCount] adjacency ≈ $bytes B needs $raw shards but the cap is $maxShards: " +
+          s"two ~${2L * bytes / maxShards} B blocks exceed the $maxBroadcastBytes B broadcast " +
+          "budget — the sizing invariant no longer holds; raise spark.graft.maxBroadcastBytes " +
+          "or executor memory")
+    shards
+  }
+
+  /** Persist-and-track `adj` unless the caller already did: the auto-select size
+    * probe below is an EAGER aggregation, and the kernel plan then reads the
+    * adjacency from both broadcast sides — unpersisted, the whole adjacency
+    * aggregation would run twice (round-3 advice: external callers on the old
+    * lazy contract silently doubled their work). */
+  private def ensurePersisted(adj: DataFrame): Unit =
+    if (adj.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      CacheTracker.persist(adj)
 
   /** Estimated in-memory bytes of an adjacency table: 8 B per neighbor id plus
     * ~24 B per-row overhead (v, deg, array header). One tiny agg job. */
@@ -119,6 +180,43 @@ object TriangleCount {
       coalesce(sum(col("deg")), lit(0L)).as("m"),
       count(lit(1)).as("n")).first()
     r.getLong(0) * 8L + r.getLong(1) * 24L
+  }
+
+  /** Run pair jobs with `concurrency` in flight (1 ⇒ strictly sequential, no
+    * pool). Failure path (round-3 advice): queued jobs are DROPPED
+    * (`shutdownNow`), the in-flight Spark jobs of the shared group are
+    * cancelled, and the pool is awaited before the first failure propagates —
+    * a failed pair job never leaves stragglers burning the cluster or racing a
+    * subsequent cache release. */
+  private[graft] def runPairJobs(spark: SparkSession, concurrency: Int, jobs: Seq[() => Unit]): Unit = {
+    if (concurrency <= 1 || jobs.sizeIs <= 1) { jobs.foreach(_.apply()); return }
+    val gid = s"graft-pair-jobs-${java.util.UUID.randomUUID()}"
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(concurrency)
+    try {
+      val tasks = jobs.map { job =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            // job group is thread-local: tag this worker's Spark jobs so the
+            // failure path can cancel them as a group
+            spark.sparkContext.setJobGroup(gid, "graft sharded pair job", interruptOnCancel = true)
+            try job() finally spark.sparkContext.clearJobGroup()
+          }
+        })
+      }
+      try tasks.foreach(_.get())
+      catch {
+        case e: Throwable =>
+          pool.shutdownNow()
+          try spark.sparkContext.cancelJobGroup(gid) catch { case _: Throwable => () }
+          throw (e match {
+            case ee: java.util.concurrent.ExecutionException if ee.getCause != null => ee.getCause
+            case other => other
+          })
+      }
+    } finally {
+      pool.shutdown()
+      pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+    }
   }
 
   /** Global triangle count via adjacency-list intersection (the reference's physical
@@ -142,15 +240,16 @@ object TriangleCount {
       oriented: DataFrame,
       adj: DataFrame,
       broadcastAdj: Boolean = true,
-      maxBroadcastBytes: Long = defaultMaxBroadcastBytes): DataFrame = {
+      maxBroadcastBytes: Long = AutoBroadcastBytes): DataFrame = {
     SortedIntersectCount.register(spark)
     if (broadcastAdj) {
+      ensurePersisted(adj) // the size probe is an eager agg; the plan reads adj twice more
+      val budget = resolveMaxBroadcastBytes(spark, maxBroadcastBytes)
       val bytes = adjacencyBytes(adj)
-      if (bytes > maxBroadcastBytes) {
+      if (bytes > budget) {
         // two blocks are live per pair job; size k so both fit the threshold
-        val shards = math.max(2L, (2L * bytes + maxBroadcastBytes - 1) / maxBroadcastBytes)
-          .min(1024L).toInt
-        return globalAdjacencySharded(spark, oriented, adj, shards)
+        return globalAdjacencySharded(spark, oriented, adj, autoShards(bytes, budget),
+          concurrency = defaultPairConcurrency)
       }
     }
     def side(a: DataFrame) = if (broadcastAdj) broadcast(a) else a
@@ -221,22 +320,9 @@ object TriangleCount {
     // overlaps their fixed broadcast-build/schedule cost. Resident adjacency
     // is bounded by concurrency × 2 blocks — size `shards` accordingly.
     val total = new java.util.concurrent.atomic.AtomicLong(0L)
-    if (concurrency == 1) {
-      present.foreach { case (i, j) =>
-        total.addAndGet(shardPairCount(eB, adjB, i, j).first().getLong(0))
-      }
-    } else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(concurrency)
-      try {
-        val tasks = present.map { case (i, j) =>
-          pool.submit(new java.util.concurrent.Callable[Unit] {
-            override def call(): Unit =
-              total.addAndGet(shardPairCount(eB, adjB, i, j).first().getLong(0))
-          })
-        }
-        tasks.foreach(_.get()) // propagate the first failure
-      } finally pool.shutdown()
-    }
+    runPairJobs(spark, concurrency, present.toSeq.map { case (i, j) => () =>
+      total.addAndGet(shardPairCount(eB, adjB, i, j).first().getLong(0)): Unit
+    })
     import spark.implicits._
     Seq(total.get()).toDF("triangles")
   }
@@ -254,8 +340,10 @@ object TriangleCount {
       canonical: DataFrame,
       oriented: DataFrame,
       adj: DataFrame,
-      shards: Int): DataFrame = {
+      shards: Int,
+      concurrency: Int = 1): DataFrame = {
     require(shards >= 1, "shards must be positive")
+    require(concurrency >= 1, "concurrency must be positive")
     val blocks = GraphCore.csrBlocks(adj, shards).select(col("v"), col("block"))
     val adjB = CacheTracker.persist(adj.join(blocks, "v").select(col("v"), col("nbrs"), col("block")))
     val eB = CacheTracker.persist(oriented
@@ -266,30 +354,23 @@ object TriangleCount {
       .select(col("bs"), col("bd")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(identity)
+    // Rolling accumulator, merged under a lock: credits are SUMS, so the merge
+    // is associative-commutative and completion order cannot change the result.
+    // Each pair job materializes its own credit partial (EAGER localCheckpoint:
+    // only that job's two broadcasts are ever live, and the lineage is cut);
+    // the serialized merge step re-aggregates two vertex-sized tables — cheap
+    // next to the intersection work the pool overlaps. Resident state is
+    // bounded by concurrency × (2 blocks + 1 partial) + 1 accumulator.
     var acc: DataFrame = null
-    present.foreach { case (i, j) =>
-      val aU = broadcast(adjB.where(col("block") === i)
-        .select(col("v").as("src"), col("nbrs").as("nbrs_u")))
-      val aV = broadcast(adjB.where(col("block") === j)
-        .select(col("v").as("dst"), col("nbrs").as("nbrs_v")))
-      val withW = eB.where(col("bs") === i && col("bd") === j)
-        .join(aU, "src")
-        .join(aV, "dst")
-        .select(col("src"), col("dst"),
-          array_intersect(col("nbrs_u"), col("nbrs_v")).as("ws"))
-        .where(size(col("ws")) > 0)
-      val credits = withW
-        .select(col("src").as("v"), size(col("ws")).cast("long").as("c"))
-        .unionAll(withW.select(col("dst").as("v"), size(col("ws")).cast("long").as("c")))
-        .unionAll(withW.select(explode(col("ws")).as("v"), lit(1L).as("c")))
-        .groupBy("v").agg(sum("c").as("cnt"))
-      val next = (if (acc == null) credits
-        else acc.unionAll(credits).groupBy("v").agg(sum(col("cnt")).as("cnt")))
-        // EAGER checkpoint: materializes this pair's job (so only its two
-        // broadcasts are ever live) and truncates the accumulator's lineage
-        .localCheckpoint(true)
-      acc = next
-    }
+    val lock = new Object
+    runPairJobs(spark, concurrency, present.toSeq.map { case (i, j) => () =>
+      val credits = pairCredits(eB, adjB, i, j).localCheckpoint(true)
+      lock.synchronized {
+        acc = if (acc == null) credits
+          else acc.unionAll(credits).groupBy("v").agg(sum(col("cnt")).as("cnt"))
+            .localCheckpoint(true)
+      }
+    })
     val corners = if (acc == null) {
       import spark.implicits._
       Seq.empty[(Long, Long)].toDF("v", "cnt")
@@ -297,6 +378,26 @@ object TriangleCount {
     GraphCore.vertices(canonical)
       .join(corners, Seq("v"), "left")
       .select(col("v"), coalesce(col("cnt"), lit(0L)).as("tri_cnt"))
+  }
+
+  /** One chunk-pair credit partial: (v, cnt) endpoint + witness credits of block
+    * pair (i, j)'s edges — longs only, never arrays. */
+  private[graft] def pairCredits(eB: DataFrame, adjB: DataFrame, i: Long, j: Long): DataFrame = {
+    val aU = broadcast(adjB.where(col("block") === i)
+      .select(col("v").as("src"), col("nbrs").as("nbrs_u")))
+    val aV = broadcast(adjB.where(col("block") === j)
+      .select(col("v").as("dst"), col("nbrs").as("nbrs_v")))
+    val withW = eB.where(col("bs") === i && col("bd") === j)
+      .join(aU, "src")
+      .join(aV, "dst")
+      .select(col("src"), col("dst"),
+        array_intersect(col("nbrs_u"), col("nbrs_v")).as("ws"))
+      .where(size(col("ws")) > 0)
+    withW
+      .select(col("src").as("v"), size(col("ws")).cast("long").as("c"))
+      .unionAll(withW.select(col("dst").as("v"), size(col("ws")).cast("long").as("c")))
+      .unionAll(withW.select(explode(col("ws")).as("v"), lit(1L).as("c")))
+      .groupBy("v").agg(sum("c").as("cnt"))
   }
 
   /** One chunk-pair partial: edges of block pair (i, j) probe the two broadcast

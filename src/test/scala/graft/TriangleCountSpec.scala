@@ -143,6 +143,71 @@ class TriangleCountSpec extends AnyFunSuite {
     CacheTracker.release(spark)
   }
 
+  test("pooled per-vertex sharded merge equals sequential and broadcast forms") {
+    val rnd = new scala.util.Random(33)
+    val es = Seq.fill(500)((rnd.nextInt(70).toLong, rnd.nextInt(70).toLong))
+    val canonical = GraphCore.clean(edgeDF(es))
+    val oriented = GraphCore.orient(canonical, GraphCore.degrees(canonical))
+    val adj = GraphCore.adjacency(oriented)
+    val want = TriangleCount.perVertexAdjacency(canonical, oriented, adj)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pooled = TriangleCount.perVertexAdjacencySharded(
+        spark, canonical, oriented, adj, 4, concurrency = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pooled === want, "associative credit merge must be order-independent")
+    CacheTracker.release(spark)
+  }
+
+  test("runPairJobs: a failing pair job propagates its own exception and drops queued jobs") {
+    val executed = new java.util.concurrent.atomic.AtomicInteger(0)
+    val boom = new IllegalStateException("pair job failed")
+    val jobs: Seq[() => Unit] =
+      (() => { executed.incrementAndGet(); throw boom }) +:
+        Seq.fill(40)(() => { Thread.sleep(5); executed.incrementAndGet(): Unit })
+    val got = intercept[IllegalStateException] {
+      TriangleCount.runPairJobs(spark, 2, jobs)
+    }
+    assert(got eq boom, "the original cause, not an ExecutionException wrapper")
+    assert(executed.get() < 41, "queued jobs after the failure must be dropped")
+  }
+
+  test("broadcast budget: explicit > session conf > derived-with-floor") {
+    // explicit argument wins
+    assert(TriangleCount.resolveMaxBroadcastBytes(spark, 123L) === 123L)
+    // session conf (size string) overrides the derivation
+    spark.conf.set("spark.graft.maxBroadcastBytes", "512m")
+    try assert(TriangleCount.resolveMaxBroadcastBytes(spark, TriangleCount.AutoBroadcastBytes)
+      === 512L * 1024 * 1024)
+    finally spark.conf.unset("spark.graft.maxBroadcastBytes")
+    // no conf: local session's executor memory is small/unset → floor applies
+    assert(TriangleCount.resolveMaxBroadcastBytes(spark, TriangleCount.AutoBroadcastBytes)
+      >= TriangleCount.defaultMaxBroadcastBytes)
+  }
+
+  test("a configured small budget flips auto-select to the sharded path") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val oriented = GraphCore.orientClean(edgeDF(fixtures.nvgraph8))
+    val adj = GraphCore.adjacency(oriented)
+    spark.conf.set("spark.graft.maxBroadcastBytes", "1")
+    try {
+      val df = TriangleCount.globalAdjacency(spark, oriented, adj)
+      // the sharded form reduces on the driver: its result plan is a local
+      // relation with no joins — the broadcast form would be an agg over joins
+      assert(df.queryExecution.optimizedPlan.collect { case j: LJoin => j }.isEmpty,
+        "tiny configured budget must route through globalAdjacencySharded")
+      assert(df.first().getLong(0) === 3L)
+    } finally {
+      spark.conf.unset("spark.graft.maxBroadcastBytes")
+      CacheTracker.release(spark)
+    }
+  }
+
+  test("autoShards: caps at maxShards and sizes blocks to the budget below it") {
+    assert(TriangleCount.autoShards(10L << 30, 2L << 30) === 10)
+    assert(TriangleCount.autoShards(100L, 2L << 30) === 2) // floor of 2
+    assert(TriangleCount.autoShards(Long.MaxValue / 4, 2L << 30) === 1024) // capped + warns
+  }
+
   test("globalAdjacency auto-selects the sharded path above the broadcast threshold") {
     val oriented = GraphCore.orientClean(edgeDF(fixtures.nvgraph8))
     val adj = GraphCore.adjacency(oriented)
