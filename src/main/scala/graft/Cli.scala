@@ -61,7 +61,14 @@ object Cli {
     val rows = out.count()
     val sec = (System.nanoTime() - t0) / 1e9
     out.show(10, truncate = false)
-    println(f"""{"kernel":"$kernel","sf_dir":"$sfDir","edges":$edgeCount,"rows":$rows,"sec":$sec%.3f,"edges_per_sec":${edgeCount / sec}%.1f}""")
+    // single-cell results (the global triangle count) carry the value in the
+    // JSON line so differential harnesses compare mechanically
+    val scalar =
+      if (rows == 1 && out.schema.length == 1 && out.schema.head.dataType ==
+        org.apache.spark.sql.types.LongType)
+        s""","value":${out.first().getLong(0)}"""
+      else ""
+    println(f"""{"kernel":"$kernel","sf_dir":"$sfDir","edges":$edgeCount,"rows":$rows,"sec":$sec%.3f,"edges_per_sec":${edgeCount / sec}%.1f$scalar}""")
     spark.stop()
   }
 }

@@ -428,6 +428,32 @@ object OracleSql {
        |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
        |FROM lagd""".stripMargin
 
+  /** Twin of the STREAMING sessionization contract replayed in batch
+    * ([[graft.streaming.StreamingIngest.sessionizeEvents]] via Spark's native
+    * `session_window`): one row per session with start = first event,
+    * end = last event + gap. NOTE the boundary semantics deliberately mirror
+    * `session_window`, which starts a NEW session when the inter-event gap is
+    * `>= gap` (windows [ts, ts+gap) merge only on strict overlap) — whereas
+    * [[sessionize]]'s lag rule keeps the session at exactly-gap (`> gap`
+    * splits). Both are documented contracts; the oracle pins each. */
+  def sessionWindowAgg(gapSeconds: Long): String = {
+    val gapUs = gapSeconds * 1000000L
+    s"""WITH lagd AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS us,
+       |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+       |  FROM events),
+       |s AS (
+       |  SELECT user_id, us,
+       |         CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us >= $gapUs
+       |                       THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY user_id ORDER BY us, event_id
+       |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
+       |  FROM lagd)
+       |SELECT user_id, min(us) AS start_us, max(us) + $gapUs AS end_us,
+       |       count(*) AS n_events
+       |FROM s GROUP BY user_id, sess""".stripMargin
+  }
+
   /** Global clustering coefficient (transitivity): 3·T / Σ C(deg, 2). */
   val transitivity: String =
     s"""WITH $graphCtes,

@@ -187,6 +187,19 @@ object SparkEntry {
     "sessionize_scalable" -> ((s, d) =>
       Ingest.sessionizeScalable(Ingest.table(s, d, "events"),
         gapSeconds = 1800, bucketSeconds = 3600)),
+    // the STREAMING sessionization contract replayed in batch: the exact
+    // session_window plan StreamingIngest runs incrementally (batch execution
+    // just eliminates the watermark node) — gives the streaming surface a
+    // driver-verified CORRECTNESS row beside its stream==batch differentials
+    "session_window_agg" -> ((s, d) =>
+      streaming.StreamingIngest.sessionizeEvents(
+          Ingest.table(s, d, "events"), gap = "30 minutes")
+        .select(col("user_id"),
+          // events.ts is TIMESTAMP_NTZ; session timezone is pinned UTC, so the
+          // cast to instant is stable (same pattern as Ingest.sessionize)
+          unix_micros(col("session_start").cast("timestamp")).as("start_us"),
+          unix_micros(col("session_end").cast("timestamp")).as("end_us"),
+          col("n_events"))),
     // --- relational sanity ------------------------------------------------------
     "q1_agg" -> ((s, d) =>
       Ingest.table(s, d, "lineitem")
@@ -374,6 +387,7 @@ object SparkEntry {
     "corpus_clean_stats" -> OracleSql.corpusCleanStats,
     "sessionize" -> OracleSql.sessionize(1800),
     "sessionize_scalable" -> OracleSql.sessionize(1800),
+    "session_window_agg" -> OracleSql.sessionWindowAgg(1800),
     "dedup_cluster_canonical" -> OracleSql.dedupClusterCanonical(5, 0.35),
     "minhash_lsh_pairs" -> OracleSql.minhashLshPairs(5, 64, 16, 0.35),
     "dedup_cluster_canonical_lsh" -> OracleSql.dedupClusterCanonicalLsh(5, 64, 16, 0.35),
