@@ -69,6 +69,25 @@ object Components {
       .distinct()
   }
 
+  /** Hub-skew twin of [[largeStar]]: the same round as a map-side-combinable
+    * `groupBy-min` + rejoin instead of the window. The window form funnels a
+    * hub's whole symmetrized neighborhood through ONE task (partition-by-src
+    * window = per-key sort in a single task); here the min is partially
+    * aggregated map-side, at the cost of reading the symmetrized edge set
+    * twice (persisted) and one extra shuffle join. Same output — differential
+    * test in ComponentsSpec; measured numbers in BENCH.md §hub-skew decide
+    * which form [[run]] uses. */
+  private[graft] def largeStarAgg(edges: DataFrame): DataFrame = {
+    val sym = CacheTracker.persist(
+      edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst"))))
+    val mins = sym.groupBy("src").agg(min(col("dst")).as("m"))
+      .select(col("src"), least(col("m"), col("src")).as("mn"))
+    sym.join(mins, "src")
+      .where(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("mn").as("dst"))
+      .distinct()
+  }
+
   /** Small-star round: every node connects itself and its smaller neighbors to the
     * minimum of its smaller neighborhood. Preserves (src > dst) orientation.
     * Single-pass: the window computes the min, one explode emits both the

@@ -120,6 +120,38 @@ object ScalingBench {
     if (full != shd || pvDiff != 0) sys.exit(1)
   }
 
+  /** Bounded hub-skew experiment (round-3 verdict #7): a star graph with one
+    * `nLeaves`-degree hub — the adversarial input for `largeStar`'s
+    * partition-by-src window (the hub's whole symmetrized neighborhood sorts
+    * in ONE task). Times one large-star round in the window form vs the
+    * groupBy-min twin, plus the full Components.run. */
+  private def hub(nLeaves: Long, reps: Int): Unit = {
+    val spark = Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    // hub 0 with nLeaves neighbors, plus a 1000-vertex background ring that
+    // keeps later rounds non-trivial
+    val leaves = spark.range(1, nLeaves + 1).select(col("id").as("src"), lit(0L).as("dst"))
+    val ring = spark.range(0, 1000).select(
+      (col("id") + nLeaves + 1).as("src"),
+      (((col("id") + 1) % 1000) + nLeaves + 1).as("dst"))
+    val edges = leaves.unionAll(ring)
+      .select(greatest(col("src"), col("dst")).as("src"), least(col("src"), col("dst")).as("dst"))
+      .persist()
+    edges.count()
+    def time(name: String, f: () => Unit): Double = {
+      val best = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"""{"hub_experiment":"$name","n_leaves":$nLeaves,"sec":$best%.3f}""")
+      best
+    }
+    time("largeStar_window", () => Bench.materialize(Components.largeStar(edges)))
+    time("largeStar_agg", () => { Bench.materialize(Components.largeStarAgg(edges)); CacheTracker.release(spark) })
+    time("components_run_full", () => Bench.materialize(Components.run(edges)))
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = args.toList match {
     case "gen" :: nConvs :: nTools :: path :: Nil =>
       gen(nConvs.toLong, nTools.toInt, path)
@@ -128,8 +160,10 @@ object ScalingBench {
         rest.headOption.map(_.toInt).getOrElse(2), rest.drop(1).headOption)
     case "check" :: path :: shards :: Nil =>
       check(path, shards.toInt)
+    case "hub" :: nLeaves :: rest =>
+      hub(nLeaves.toLong, rest.headOption.map(_.toInt).getOrElse(2))
     case _ =>
-      System.err.println("usage: ScalingBench gen <nConvs> <nTools> <path> | measure <path> <cpus> [reps] [kernel] | check <path> <shards>")
+      System.err.println("usage: ScalingBench gen <nConvs> <nTools> <path> | measure <path> <cpus> [reps] [kernel] | check <path> <shards> | hub <nLeaves> [reps]")
       sys.exit(2)
   }
 }

@@ -31,6 +31,25 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got.size === 200 && got.values.toSet === Set(0L))
   }
 
+  test("largeStarAgg (hub-skew twin) equals the window form on fixtures and random graphs") {
+    def oneRound(es: Seq[(Long, Long)]): Unit = {
+      import org.apache.spark.sql.functions._
+      val edges = GraphCore.clean(edgeDF(es))
+        .select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .distinct()
+      val w = Components.largeStar(edges).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val a = Components.largeStarAgg(edges).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(a === w)
+      CacheTracker.release(spark)
+    }
+    oneRound(fixtures.nvgraph8)
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      oneRound(Seq.fill(200)((rnd.nextInt(90).toLong, rnd.nextInt(90).toLong)))
+    }
+  }
+
   test("differential: large/small-star equals min-propagation on seeded random graphs") {
     (1 to 3).foreach { seed =>
       val rnd = new scala.util.Random(seed)
