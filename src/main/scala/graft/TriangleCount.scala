@@ -81,7 +81,7 @@ object TriangleCount {
       if (bytes > budget) {
         return perVertexAdjacencySharded(
           canonical.sparkSession, canonical, oriented, adj, autoShards(bytes, budget),
-          concurrency = defaultPairConcurrency)
+          concurrency = resolvePairConcurrency(adj.sparkSession))
       }
     }
     // broadcast by default for the same reason as [[globalAdjacency]]
@@ -119,8 +119,13 @@ object TriangleCount {
 
   /** Pair jobs in flight when an auto-selected sharded kernel runs — each job is
     * itself distributed, so the pool only overlaps fixed broadcast-build cost;
-    * resident adjacency is bounded by 2 × this many blocks. */
+    * resident adjacency is bounded by 2 × this many blocks. Override per session
+    * with `spark.graft.pairConcurrency`. */
   val defaultPairConcurrency: Int = 4
+
+  private[graft] def resolvePairConcurrency(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.pairConcurrency")
+      .map(_.toInt).getOrElse(defaultPairConcurrency)
 
   /** Resolve the broadcast budget for the sharded auto-select. Priority:
     * explicit non-negative argument > session conf `spark.graft.maxBroadcastBytes`
@@ -249,7 +254,7 @@ object TriangleCount {
       if (bytes > budget) {
         // two blocks are live per pair job; size k so both fit the threshold
         return globalAdjacencySharded(spark, oriented, adj, autoShards(bytes, budget),
-          concurrency = defaultPairConcurrency)
+          concurrency = resolvePairConcurrency(spark))
       }
     }
     def side(a: DataFrame) = if (broadcastAdj) broadcast(a) else a

@@ -39,6 +39,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val ev = CacheTracker.evictionCount(spark)
+    if (ev > 0) System.err.println(
+      s"[verify] WARNING: $ev CacheTracker bound-evictions during this run — " +
+        "some operator recomputed a lost intermediate (results unaffected)")
     SparkEntry.releaseCaches(spark) // harness teardown: memoized edge tables too
     spark.stop()
   }

@@ -182,6 +182,11 @@ class TriangleCountSpec extends AnyFunSuite {
     // no conf: local session's executor memory is small/unset → floor applies
     assert(TriangleCount.resolveMaxBroadcastBytes(spark, TriangleCount.AutoBroadcastBytes)
       >= TriangleCount.defaultMaxBroadcastBytes)
+    // pool width: conf override > constant default
+    assert(TriangleCount.resolvePairConcurrency(spark) === TriangleCount.defaultPairConcurrency)
+    spark.conf.set("spark.graft.pairConcurrency", "7")
+    try assert(TriangleCount.resolvePairConcurrency(spark) === 7)
+    finally spark.conf.unset("spark.graft.pairConcurrency")
   }
 
   test("a configured small budget flips auto-select to the sharded path") {
