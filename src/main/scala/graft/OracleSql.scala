@@ -49,6 +49,21 @@ object OracleSql {
 
   val oriented: String = s"WITH $orientedCte SELECT src, dst FROM oriented"
 
+  /** Per-edge triangle support over the degree-oriented edges: for edge (u,v),
+    * the number of w with v→w and u→w — exactly |N⁺(u) ∩ N⁺(v)|; edges closing
+    * no triangle keep a 0 row. */
+  val edgeSupport: String =
+    s"""WITH $orientedCte,
+       |sup AS (
+       |  SELECT e1.src, e1.dst, count(*) AS c
+       |  FROM oriented e1
+       |  JOIN oriented e2 ON e2.src = e1.dst
+       |  JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst
+       |  GROUP BY e1.src, e1.dst)
+       |SELECT o.src, o.dst, coalesce(sup.c, 0) AS support
+       |FROM oriented o
+       |LEFT JOIN sup ON sup.src = o.src AND sup.dst = o.dst""".stripMargin
+
   val adjacencyCsv: String =
     s"""WITH $orientedCte
        |SELECT src AS v, count(*) AS deg,
@@ -427,6 +442,48 @@ object OracleSql {
        |         OVER (PARTITION BY user_id ORDER BY ts, event_id
        |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
        |FROM lagd""".stripMargin
+
+  /** Twin of [[graft.docs.TextOps.repetitionRatio]]: duplicate word n-gram
+    * fraction via scalar list ops (generate_series in scalar context is a
+    * list in DuckDB). */
+  def repetitionRatio(n: Int): String = {
+    val gram = (0 until n).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(toks) >= $n
+       |              THEN list_transform(generate_series(1, len(toks) - ${n - 1}),
+       |                                  i -> $gram)
+       |              ELSE []::VARCHAR[] END AS grams
+       |  FROM t)
+       |SELECT doc_id,
+       |       CAST(len(grams) AS BIGINT) AS n_grams,
+       |       CAST(len(list_distinct(grams)) AS BIGINT) AS n_unique_grams,
+       |       CASE WHEN len(grams) > 0
+       |            THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+       |            ELSE 0.0 END AS rep_ratio
+       |FROM g""".stripMargin
+  }
+
+  /** Twin of [[graft.docs.TextOps.piiScrub]] — same three RE2/Java-portable
+    * patterns, same replacement order (emails, phones, then IPs). */
+  val piiScrub: String = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+    val ip = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    s"""SELECT doc_id,
+       |       CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+       |       CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phones,
+       |       CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ips,
+       |       regexp_replace(
+       |         regexp_replace(
+       |           regexp_replace(text, '$email', '<EMAIL>', 'g'),
+       |           '$phone', '<PHONE>', 'g'),
+       |         '$ip', '<IP>', 'g') AS redacted
+       |FROM documents""".stripMargin
+  }
 
   /** Twin of the STREAMING sessionization contract replayed in batch
     * ([[graft.streaming.StreamingIngest.sessionizeEvents]] via Spark's native

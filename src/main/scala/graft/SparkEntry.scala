@@ -161,6 +161,12 @@ object SparkEntry {
             .otherwise(lit(0.0)).as("transitivity"),
           col("triangles"), col("wedges"))
     }),
+    // per-edge triangle support (the k-truss building block): same broadcast-CSR
+    // probe as triangles_adj_global minus the reduce; Σ support == triangles
+    "edge_support" -> ((s, d) => {
+      val o = orientedOf(s, d)
+      TriangleCount.edgeSupport(s, o, CacheTracker.persist(GraphCore.adjacency(o)))
+    }),
     // CSR offsets (distributed two-level prefix sum) + edge-balanced block split —
     // the reference's get_split_v2 semantics, oracle-checked
     "csr_blocks" -> ((s, d) =>
@@ -214,6 +220,11 @@ object SparkEntry {
     "lang_id" -> ((s, d) => docs.TextOps.langId(Ingest.table(s, d, "documents"))),
     "quality_score" -> ((s, d) => docs.TextOps.qualityScore(Ingest.table(s, d, "documents"))),
     "doc_fingerprint" -> ((s, d) => docs.TextOps.fingerprint(Ingest.table(s, d, "documents"))),
+    // Gopher-style duplicate-3-gram fraction (templated/spammy doc signal)
+    "repetition_ratio" -> ((s, d) =>
+      docs.TextOps.repetitionRatio(Ingest.table(s, d, "documents"), n = 3)),
+    // PII redaction pass (emails/phones/IPs — portable char-class regexes)
+    "pii_scrub" -> ((s, d) => docs.TextOps.piiScrub(Ingest.table(s, d, "documents"))),
     // --- training-data pipeline: curation (sampling / packing) -------------------
     // deterministic per-language downsampling (hash-derived, retry-stable)
     "stratified_sample" -> ((s, d) =>
@@ -368,6 +379,9 @@ object SparkEntry {
     "lang_id" -> OracleSql.langId,
     "quality_score" -> OracleSql.qualityScore,
     "doc_fingerprint" -> OracleSql.docFingerprint,
+    "repetition_ratio" -> OracleSql.repetitionRatio(3),
+    "pii_scrub" -> OracleSql.piiScrub,
+    "edge_support" -> OracleSql.edgeSupport,
     "dedup_exact" -> OracleSql.dedupExact,
     "ngram_jaccard_pairs" -> OracleSql.ngramJaccardPairs(5, 0.35),
     "embed_cosine_topk" -> OracleSql.embedCosineTopK(5, 25),

@@ -421,6 +421,27 @@ object TriangleCount {
       .agg(coalesce(sum(col("cnt")), lit(0L)).as("partial"))
   }
 
+  /** Per-edge triangle support: |N⁺(u) ∩ N⁺(v)| for EVERY oriented edge (u, v),
+    * zero rows included — the k-truss building block (an edge belongs to the
+    * k-truss iff its support ≥ k−2) and the per-edge refinement of the global
+    * count (Σ support = triangles). Same broadcast-CSR probe + codegen
+    * two-pointer merge as [[globalAdjacency]], minus the final reduce; left
+    * joins because a dst with out-degree 0 has no adjacency row (support 0).
+    * Output (src, dst, support). */
+  def edgeSupport(spark: SparkSession, oriented: DataFrame, adj: DataFrame): DataFrame = {
+    SortedIntersectCount.register(spark)
+    val adjU = broadcast(adj.select(col("v").as("src"), col("nbrs").as("nbrs_u")))
+    val adjV = broadcast(adj.select(col("v").as("dst"), col("nbrs").as("nbrs_v")))
+    oriented
+      .join(adjU, Seq("src"), "left")
+      .join(adjV, Seq("dst"), "left")
+      .select(col("src"), col("dst"),
+        when(col("nbrs_u").isNull || col("nbrs_v").isNull, lit(0L))
+          .otherwise(
+            call_function(SortedIntersectCount.name, col("nbrs_u"), col("nbrs_v")))
+          .as("support"))
+  }
+
   /** End-to-end: arbitrary pair table → cleaned → oriented → global count
     * (relational form). */
   def countPairs(pairs: DataFrame): DataFrame =

@@ -107,4 +107,54 @@ object TextOps {
   /** Whitespace-normalized lowercase text — the exact-dedup key. */
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Gopher-style repetition signal: the fraction of duplicate word `n`-grams
+    * (Rae et al. 2021 use duplicate n-gram fractions as a core quality rule —
+    * templated/spammy documents repeat themselves). All per-row array
+    * arithmetic, NO shuffle: grams are built with `sequence`+`transform`
+    * (interpreted HOF — acceptable here because the work is embarrassingly
+    * parallel scalar text prep, not a hot shuffled inner loop) and deduped with
+    * `array_distinct`. Docs with fewer than `n` tokens score 0.
+    * Output (doc_id, n_grams, n_unique_grams, rep_ratio). */
+  def repetitionRatio(docs: DataFrame, n: Int = 3): DataFrame = {
+    require(n >= 1, "n must be positive")
+    val toks = filter(split(col("text"), " "), _ =!= "")
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+    docs
+      .select(col("doc_id"), grams.as("grams"))
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(array_distinct(col("grams"))).cast("long").as("n_unique_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_unique_grams"),
+        when(col("n_grams") > 0,
+          round(lit(1.0) - col("n_unique_grams") / col("n_grams"), 6))
+          .otherwise(lit(0.0)).as("rep_ratio"))
+  }
+
+  /** PII patterns — simple char-class regexes that mean the same thing in Java
+    * (Spark) and RE2 (DuckDB): no backrefs, no lookaround. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+  val ipRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** PII scrubbing (the standard pre-training redaction pass): counts per
+    * pattern on the ORIGINAL text (independent counts), plus the redacted text
+    * with emails → `<EMAIL>`, then phones → `<PHONE>`, then IPs → `<IP>` —
+    * phones before IPs so a dotted phone number is not half-eaten by the IP
+    * pattern. Pure per-row regex work, no shuffle.
+    * Output (doc_id, n_emails, n_phones, n_ips, redacted). */
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(phoneRe)).cast("long").as("n_phones"),
+      regexp_count(col("text"), lit(ipRe)).cast("long").as("n_ips"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>"),
+        ipRe, "<IP>").as("redacted"))
 }

@@ -43,6 +43,34 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(0L) > got(1L))
   }
 
+  test("repetition ratio: duplicate 3-grams scored, short docs 0, distinct text 0") {
+    val got = TextOps.repetitionRatio(docsDF(
+        0L -> "spam spam spam spam spam spam",  // all 3-grams identical
+        1L -> "every word here is fully distinct",
+        2L -> "ab cd",                           // < 3 tokens
+        3L -> "")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(0L) === ((4L, 1L, 0.75)))
+    assert(got(1L)._1 === got(1L)._2 && got(1L)._3 === 0.0)
+    assert(got(2L) === ((0L, 0L, 0.0)))
+    assert(got(3L) === ((0L, 0L, 0.0)))
+  }
+
+  test("pii scrub: emails, phones, and IPs counted and redacted; phones win over IPs") {
+    val got = TextOps.piiScrub(docsDF(
+        0L -> "mail me at jane.doe+x@example.org or bob@test.co thanks",
+        1L -> "call 555-123-4567 or visit 10.0.255.1 today",
+        2L -> "no pii here at all")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got(0L)._1 === 2L)
+    assert(got(0L)._4 === "mail me at <EMAIL> or <EMAIL> thanks")
+    assert(got(1L) === ((0L, 1L, 1L, "call <PHONE> or visit <IP> today")))
+    assert(got(2L) === ((0L, 0L, 0L, "no pii here at all")))
+    // a dotted phone number must redact as ONE phone, not a partial IP
+    val dotted = TextOps.piiScrub(docsDF(9L -> "fax 555.123.4567 ok")).collect().head
+    assert(dotted.getString(4) === "fax <PHONE> ok")
+  }
+
   test("fingerprint: deterministic, sensitive to single-char change, 0 on empty") {
     val got = TextOps.fingerprint(docsDF(0L -> "hello world", 1L -> "hello worle", 2L -> ""))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -213,6 +213,24 @@ class TriangleCountSpec extends AnyFunSuite {
     assert(TriangleCount.autoShards(Long.MaxValue / 4, 2L << 30) === 1024) // capped + warns
   }
 
+  test("edge support: per-edge counts on nvgraph8, zero rows kept, sum equals the global count") {
+    val oriented = GraphCore.orientClean(edgeDF(fixtures.nvgraph8))
+    val adj = GraphCore.adjacency(oriented)
+    val sup = TriangleCount.edgeSupport(spark, oriented, adj)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(sup.size === oriented.count()) // every oriented edge has a row
+    assert(sup.values.sum === 3L)         // Σ support = triangle total
+    assert(sup.values.exists(_ === 0L), "support-0 edges must keep their rows")
+    // seeded random graph: Σ support == relational global count
+    val rnd = new scala.util.Random(17)
+    val es = Seq.fill(400)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+    val o2 = GraphCore.orientClean(edgeDF(es))
+    val total = TriangleCount.globalRelational(o2).first().getLong(0)
+    val sum2 = TriangleCount.edgeSupport(spark, o2, GraphCore.adjacency(o2))
+      .agg(org.apache.spark.sql.functions.sum("support")).first().getLong(0)
+    assert(sum2 === total)
+  }
+
   test("globalAdjacency auto-selects the sharded path above the broadcast threshold") {
     val oriented = GraphCore.orientClean(edgeDF(fixtures.nvgraph8))
     val adj = GraphCore.adjacency(oriented)
