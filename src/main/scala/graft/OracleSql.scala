@@ -64,6 +64,33 @@ object OracleSql {
        |FROM oriented o
        |LEFT JOIN sup ON sup.src = o.src AND sup.dst = o.dst""".stripMargin
 
+  /** Twin of [[graft.TriangleCount.ktrussEdges]] with a fixed round budget:
+    * `rounds` unrolled peel steps over the degree-oriented edges — each step
+    * keeps edges in ≥ k−2 triangles of the CURRENT subgraph (membership =
+    * every triangle credits its three edges). Peeling a fixpoint is a no-op,
+    * so a converged graph gives identical rows for any extra unrolled round. */
+  def ktrussPeel(k: Int, rounds: Int): String = {
+    require(k >= 3 && rounds >= 1)
+    val sb = new StringBuilder(s"WITH $orientedCte")
+    sb.append(",\ne0 AS (SELECT src, dst FROM oriented)")
+    for (r <- 0 until rounds) {
+      sb.append(s""",
+         |tri$r AS (
+         |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         |  FROM e$r e1
+         |  JOIN e$r e2 ON e2.src = e1.dst
+         |  JOIN e$r e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+         |mem$r AS (
+         |  SELECT src, dst, count(*) AS c FROM (
+         |    SELECT a AS src, b AS dst FROM tri$r
+         |    UNION ALL SELECT a AS src, c AS dst FROM tri$r
+         |    UNION ALL SELECT b AS src, c AS dst FROM tri$r)
+         |  GROUP BY src, dst),
+         |e${r + 1} AS (SELECT src, dst FROM mem$r WHERE c >= ${k - 2})""".stripMargin)
+    }
+    sb.append(s"\nSELECT src, dst FROM e$rounds").toString
+  }
+
   val adjacencyCsv: String =
     s"""WITH $orientedCte
        |SELECT src AS v, count(*) AS deg,

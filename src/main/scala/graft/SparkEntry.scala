@@ -167,6 +167,12 @@ object SparkEntry {
       val o = orientedOf(s, d)
       TriangleCount.edgeSupport(s, o, CacheTracker.persist(GraphCore.adjacency(o)))
     }),
+    // k-truss peel (k=4, round budget 2): every surviving edge sits in ≥ 2
+    // triangles of the surviving subgraph after two peels; the fixed budget
+    // makes it expressible as unrolled non-recursive SQL (peel is idempotent
+    // at fixpoint, so early convergence yields identical rows)
+    "ktruss_edges" -> ((s, d) =>
+      TriangleCount.ktrussEdges(s, orientedOf(s, d), k = 4, maxRounds = 2)),
     // CSR offsets (distributed two-level prefix sum) + edge-balanced block split —
     // the reference's get_split_v2 semantics, oracle-checked
     "csr_blocks" -> ((s, d) =>
@@ -382,6 +388,7 @@ object SparkEntry {
     "repetition_ratio" -> OracleSql.repetitionRatio(3),
     "pii_scrub" -> OracleSql.piiScrub,
     "edge_support" -> OracleSql.edgeSupport,
+    "ktruss_edges" -> OracleSql.ktrussPeel(4, 2),
     "dedup_exact" -> OracleSql.dedupExact,
     "ngram_jaccard_pairs" -> OracleSql.ngramJaccardPairs(5, 0.35),
     "embed_cosine_topk" -> OracleSql.embedCosineTopK(5, 25),

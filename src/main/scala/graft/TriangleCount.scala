@@ -442,6 +442,61 @@ object TriangleCount {
           .as("support"))
   }
 
+  /** Per-edge triangle MEMBERSHIP counts — each triangle {u,v,w} credits ALL
+    * THREE of its edges (Σ tri_cnt = 3·triangles), unlike [[edgeSupport]]'s
+    * base-edge counts (Σ = triangles). This is the k-truss peel criterion.
+    * Under the acyclic orientation u→v, u→w, v→w, the witness rows of base
+    * edge (u,v) credit (u,v), (u,w) and (v,w) — all of them oriented edges, so
+    * the credit aggregation stays on the oriented table. Zero rows included.
+    * Output (src, dst, tri_cnt). */
+  def edgeTriangleCounts(spark: SparkSession, oriented: DataFrame, adj: DataFrame): DataFrame = {
+    val adjU = broadcast(adj.select(col("v").as("src"), col("nbrs").as("nbrs_u")))
+    val adjV = broadcast(adj.select(col("v").as("dst"), col("nbrs").as("nbrs_v")))
+    val withW = CacheTracker.persist(oriented
+      .join(adjU, "src")
+      .join(adjV, "dst")
+      .select(col("src"), col("dst"),
+        array_intersect(col("nbrs_u"), col("nbrs_v")).as("ws"))
+      .where(size(col("ws")) > 0))
+    val credits = withW
+      .select(col("src"), col("dst"), size(col("ws")).cast("long").as("c"))
+      .unionAll(withW.select(col("src"), explode(col("ws")).as("dst"), lit(1L).as("c")))
+      .unionAll(withW.select(col("dst").as("src"), explode(col("ws")).as("dst"), lit(1L).as("c")))
+      .groupBy("src", "dst").agg(sum("c").as("cnt"))
+    oriented
+      .join(credits, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"), coalesce(col("cnt"), lit(0L)).as("tri_cnt"))
+  }
+
+  /** k-truss peel: iteratively remove every edge in fewer than k−2 triangles
+    * until the edge set is stable (or `maxRounds`). The orientation is fixed
+    * once — any subgraph of an acyclically-oriented graph stays acyclic, so
+    * triangles keep counting exactly once per round. Because peeling a
+    * fixpoint changes nothing, running with a FIXED `maxRounds` returns the
+    * same rows as `maxRounds` unrolled peels — which is what makes the
+    * registered query oracle-expressible in non-recursive SQL while this
+    * production entry point runs to convergence.
+    * Output: the surviving oriented edges (src, dst). */
+  def ktrussEdges(spark: SparkSession, oriented: DataFrame, k: Int, maxRounds: Int = 100): DataFrame = {
+    require(k >= 3, "k-truss needs k >= 3 (k = 2 is the whole graph)")
+    var e = oriented.select(col("src"), col("dst")).localCheckpoint(true)
+    var n = e.count()
+    var round = 0
+    var done = n == 0L
+    while (!done && round < maxRounds) {
+      val kept = edgeTriangleCounts(spark, e, GraphCore.adjacency(e))
+        .where(col("tri_cnt") >= k - 2)
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+      val m = kept.count()
+      done = m == n || m == 0L
+      e = kept
+      n = m
+      round += 1
+    }
+    e
+  }
+
   /** End-to-end: arbitrary pair table → cleaned → oriented → global count
     * (relational form). */
   def countPairs(pairs: DataFrame): DataFrame =

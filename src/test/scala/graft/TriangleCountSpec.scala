@@ -231,6 +231,49 @@ class TriangleCountSpec extends AnyFunSuite {
     assert(sum2 === total)
   }
 
+  test("edge triangle membership: every triangle credits its three edges (sum = 3x total)") {
+    val oriented = GraphCore.orientClean(edgeDF(fixtures.nvgraph8))
+    val cnts = TriangleCount.edgeTriangleCounts(spark, oriented, GraphCore.adjacency(oriented))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cnts.size === oriented.count())
+    assert(cnts.values.sum === 9L) // 3 triangles × 3 edges
+    CacheTracker.release(spark)
+  }
+
+  test("k-truss fixpoint equals in-memory brute-force peel on fixtures and random graphs") {
+    def brute(edges: Set[(Long, Long)], k: Int): Set[(Long, Long)] = {
+      var e = edges
+      var changed = true
+      while (changed && e.nonEmpty) {
+        val bySrc = e.groupBy(_._1)
+        val cnt = scala.collection.mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
+        for {
+          (a, b) <- e
+          (_, c) <- bySrc.getOrElse(b, Set.empty)
+          if e((a, c))
+        } { cnt((a, b)) += 1; cnt((b, c)) += 1; cnt((a, c)) += 1 }
+        val next = e.filter(cnt(_) >= k - 2)
+        changed = next != e
+        e = next
+      }
+      e
+    }
+    def run(es: Seq[(Long, Long)], k: Int): Unit = {
+      val oriented = GraphCore.orientClean(edgeDF(es))
+      val want = brute(
+        oriented.collect().map(r => (r.getLong(0), r.getLong(1))).toSet, k)
+      val got = TriangleCount.ktrussEdges(spark, oriented, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want, s"k=$k")
+      CacheTracker.release(spark)
+    }
+    run(fixtures.nvgraph8, 3)
+    run(fixtures.nvgraph8, 4)
+    val rnd = new scala.util.Random(29)
+    val es = Seq.fill(500)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+    run(es, 3); run(es, 4); run(es, 5)
+  }
+
   test("globalAdjacency auto-selects the sharded path above the broadcast threshold") {
     val oriented = GraphCore.orientClean(edgeDF(fixtures.nvgraph8))
     val adj = GraphCore.adjacency(oriented)
