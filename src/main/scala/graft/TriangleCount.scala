@@ -79,9 +79,12 @@ object TriangleCount {
       val budget = resolveMaxBroadcastBytes(adj.sparkSession, maxBroadcastBytes)
       val bytes = adjacencyBytes(adj)
       if (bytes > budget) {
+        val shards = autoShards(bytes, budget)
+        val conc = resolvePairConcurrency(adj.sparkSession)
+        System.err.println(s"[TriangleCount] adjacency ≈ $bytes B > broadcast budget $budget B" +
+          s" — auto-selecting the per-vertex sharded kernel ($shards shards, $conc pair jobs)")
         return perVertexAdjacencySharded(
-          canonical.sparkSession, canonical, oriented, adj, autoShards(bytes, budget),
-          concurrency = resolvePairConcurrency(adj.sparkSession))
+          canonical.sparkSession, canonical, oriented, adj, shards, concurrency = conc)
       }
     }
     // broadcast by default for the same reason as [[globalAdjacency]]
@@ -253,8 +256,11 @@ object TriangleCount {
       val bytes = adjacencyBytes(adj)
       if (bytes > budget) {
         // two blocks are live per pair job; size k so both fit the threshold
-        return globalAdjacencySharded(spark, oriented, adj, autoShards(bytes, budget),
-          concurrency = resolvePairConcurrency(spark))
+        val shards = autoShards(bytes, budget)
+        val conc = resolvePairConcurrency(spark)
+        System.err.println(s"[TriangleCount] adjacency ≈ $bytes B > broadcast budget $budget B" +
+          s" — auto-selecting the sharded kernel ($shards shards, $conc pair jobs in flight)")
+        return globalAdjacencySharded(spark, oriented, adj, shards, concurrency = conc)
       }
     }
     def side(a: DataFrame) = if (broadcastAdj) broadcast(a) else a
