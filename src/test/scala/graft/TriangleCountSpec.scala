@@ -274,6 +274,21 @@ class TriangleCountSpec extends AnyFunSuite {
     run(es, 3); run(es, 4); run(es, 5)
   }
 
+  test("truss hierarchy nests: (k+1)-truss edges are a subset of k-truss edges") {
+    val rnd = new scala.util.Random(41)
+    val es = Seq.fill(600)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val oriented = GraphCore.orientClean(edgeDF(es)).localCheckpoint(true)
+    val byK = (3 to 6).map { k =>
+      k -> TriangleCount.ktrussEdges(spark, oriented, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }.toMap
+    (3 to 5).foreach { k =>
+      assert(byK(k + 1).subsetOf(byK(k)), s"${k + 1}-truss must nest inside $k-truss")
+    }
+    assert(byK(3).nonEmpty, "dense random graph must retain a 3-truss")
+    CacheTracker.release(spark)
+  }
+
   test("globalAdjacency auto-selects the sharded path above the broadcast threshold") {
     val oriented = GraphCore.orientClean(edgeDF(fixtures.nvgraph8))
     val adj = GraphCore.adjacency(oriented)
