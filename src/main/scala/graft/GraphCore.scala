@@ -138,6 +138,52 @@ object GraphCore {
         floor((col("boff") + col("loc") - col("deg")) * k / col("total")).cast("long").as("block"))
   }
 
+  /** k-core of the canonical undirected edge set: the maximal subgraph in which
+    * every vertex has degree ≥ k, by synchronous batch peeling — each round drops
+    * every vertex currently under degree k (and its edges) at once, until a
+    * fixpoint or the round budget. Peeling a fixpoint removes nothing, so a
+    * converged graph yields identical rows under any larger budget — the same
+    * idempotence that lets the registered query pin a finite budget and still be
+    * expressible as unrolled non-recursive oracle SQL (the
+    * [[TriangleCount.ktrussEdges]] pattern; k-core is its degree-only sibling —
+    * truss peels on triangle support, core peels on degree).
+    *
+    * Scale shape per round: one map-side-combined degree aggregation (shuffle
+    * carries (vertex, partition) partials, not edges) + two anti-joins of the
+    * edge set against the small "below-k" vertex list — AQE broadcasts it when
+    * it fits, shuffled-hash otherwise; `localCheckpoint` truncates lineage so a
+    * deep peel cannot blow the plan (same discipline as [[Components]] rounds).
+    * Batch peeling converges in few rounds on power-law graphs (each round
+    * removes whole degree layers); worst case (a path) is O(n) rounds — the
+    * budget bounds that, and the caller sees exactly `maxRounds` synchronous
+    * peels, a well-defined semantics of its own. */
+  def kcoreEdges(canonical: DataFrame, k: Int, maxRounds: Int = 100): DataFrame = {
+    require(k >= 1, "k-core needs k >= 1")
+    var e = canonical.select(col("src"), col("dst")).localCheckpoint(true)
+    var n = e.count()
+    var round = 0
+    var done = n == 0L
+    while (!done && round < maxRounds) {
+      val low = degrees(e).where(col("deg") < k).select(col("v"))
+      val kept = e
+        .join(low.withColumnRenamed("v", "src"), Seq("src"), "left_anti")
+        .join(low.withColumnRenamed("v", "dst"), Seq("dst"), "left_anti")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+      val m = kept.count()
+      done = m == n || m == 0L
+      e = kept
+      n = m
+      round += 1
+    }
+    e
+  }
+
+  /** Surviving vertices of the k-core with their in-core degree (all ≥ k once
+    * converged). Output (v, deg) — the [[degrees]] contract over the core. */
+  def kcoreVertices(canonical: DataFrame, k: Int, maxRounds: Int = 100): DataFrame =
+    degrees(kcoreEdges(canonical, k, maxRounds))
+
   /** Per-partition CSR-style layout (north_star): adjacency rows range-partitioned
     * by vertex id and sorted within each partition, so each partition is a
     * contiguous, ordered CSR block — the Spark analog of the reference's

@@ -274,10 +274,13 @@ object OracleSql {
     * — one source of truth, no drift possible. Candidate pairs with zero
     * common hash drop out of the inner `inter` join; the Spark side computes
     * jac = 0 for them and the threshold filters — identical rows. */
-  def minhashLshPairs(k: Int, perms: Int, bands: Int, threshold: Double): String = {
-    val rows = perms / bands
-    val bs = graft.docs.Dedup.minhashOffsets(perms).mkString("[", ", ", "]")
-    s"""WITH shing AS (
+  /** Shared shingle-hash CTE bodies (no WITH): `shing(doc_id, sh)` distinct
+    * k-char shingles, `hx(doc_id, x)` the portable 60-bit rolling double hash —
+    * the DuckDB twin of [[graft.docs.Dedup.shingleHashes]], shared by every
+    * shingle-consuming oracle (MinHash, cluster dedup, contamination) so the
+    * hash definition has exactly one SQL rendering. */
+  def shingleHashCtes(k: Int): String =
+    s"""shing AS (
        |  SELECT DISTINCT doc_id, substr("text", u, $k) AS sh
        |  FROM (SELECT doc_id, "text", unnest(range(1, length("text") - ${k - 2})) AS u
        |        FROM documents WHERE length("text") >= $k)),
@@ -286,7 +289,12 @@ object OracleSql {
        |         list_reduce(list_prepend(0::BIGINT, cs), (a, c) -> (a * 31 + c) % 1000000007) * 1000000009
        |         + list_reduce(list_prepend(0::BIGINT, cs), (a, c) -> (a * 131 + c) % 1000000009) AS x
        |  FROM (SELECT doc_id, [CAST(unicode(c) AS BIGINT) for c in string_split(sh, '')] AS cs
-       |        FROM shing)),
+       |        FROM shing))""".stripMargin
+
+  def minhashLshPairs(k: Int, perms: Int, bands: Int, threshold: Double): String = {
+    val rows = perms / bands
+    val bs = graft.docs.Dedup.minhashOffsets(perms).mkString("[", ", ", "]")
+    s"""WITH ${shingleHashCtes(k)},
        |sets AS (SELECT doc_id, list(x) AS xs, count(*) AS n FROM hx GROUP BY doc_id),
        |bsl AS (SELECT $bs::BIGINT[] AS bs),
        |sig AS (
@@ -768,4 +776,101 @@ object OracleSql {
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, nbr_id ASC) AS rnk
        |  FROM s)
        |SELECT q_id, nbr_id, score, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= $k""".stripMargin
+
+  /** Twin of [[graft.GraphCore.kcoreVertices]] with a fixed round budget:
+    * `rounds` unrolled synchronous peels (drop every vertex under degree k,
+    * with its edges, per round) — the degree-only sibling of [[ktrussPeel]];
+    * peeling a fixpoint is a no-op, so a converged graph gives identical rows
+    * for any extra unrolled round. Output: surviving (v, deg) in-core degrees. */
+  def kcorePeel(k: Int, rounds: Int): String = {
+    require(k >= 1 && rounds >= 1)
+    val sb = new StringBuilder(s"WITH $edgesCte")
+    sb.append(",\nk0 AS (SELECT src, dst FROM e)")
+    for (r <- 0 until rounds) {
+      sb.append(s""",
+         |d$r AS (
+         |  SELECT u AS v, count(*) AS c FROM (
+         |    SELECT src AS u FROM k$r UNION ALL SELECT dst AS u FROM k$r)
+         |  GROUP BY u),
+         |low$r AS (SELECT v FROM d$r WHERE c < $k),
+         |k${r + 1} AS (
+         |  SELECT src, dst FROM k$r
+         |  WHERE src NOT IN (SELECT v FROM low$r)
+         |    AND dst NOT IN (SELECT v FROM low$r))""".stripMargin)
+    }
+    sb.append(s"""
+       |SELECT u AS v, count(*) AS deg FROM (
+       |  SELECT src AS u FROM k$rounds UNION ALL SELECT dst AS u FROM k$rounds)
+       |GROUP BY u""".stripMargin).toString
+  }
+
+  /** Twin of [[graft.LinkPredict.scores]] (no middle-degree cap): wedge
+    * enumeration through each middle vertex, existing edges anti-joined out. */
+  val linkPrediction: String =
+    s"""WITH $graphCtes,
+       |wed AS (
+       |  SELECT l.w AS u, r.w AS w, d.deg AS deg_z
+       |  FROM ud l
+       |  JOIN ud r ON r.u = l.u AND l.w < r.w
+       |  JOIN deg d ON d.v = l.u),
+       |agg AS (
+       |  SELECT u, w, count(*) AS cn, sum(1.0 / ln(deg_z)) AS aa_raw
+       |  FROM wed GROUP BY u, w),
+       |cand AS (
+       |  SELECT a.u, a.w, a.cn, a.aa_raw
+       |  FROM agg a LEFT JOIN e ON e.src = a.u AND e.dst = a.w
+       |  WHERE e.src IS NULL)
+       |SELECT c.u, c.w, c.cn, round(c.aa_raw, 6) AS aa,
+       |       round(CAST(c.cn AS DOUBLE) / (du.deg + dw.deg - c.cn), 6) AS jac
+       |FROM cand c
+       |JOIN deg du ON du.v = c.u
+       |JOIN deg dw ON dw.v = c.w""".stripMargin
+
+  /** Shared bipartite incidence CTE: user × UTC-hour activity membership. */
+  private val hourlyMembershipCte: String =
+    """mem AS (
+      |  SELECT DISTINCT user_id AS u,
+      |         CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hr
+      |  FROM events)""".stripMargin
+
+  /** Twin of [[graft.Bipartite.butterflyCount]] over the hourly membership. */
+  val butterfliesGlobal: String =
+    s"""WITH $hourlyMembershipCte,
+       |cn AS (
+       |  SELECT l.u AS a, r.u AS b, count(*) AS cn
+       |  FROM mem l JOIN mem r ON r.hr = l.hr AND l.u < r.u
+       |  GROUP BY 1, 2)
+       |SELECT CAST(coalesce(sum(cn * (cn - 1)), 0) // 2 AS BIGINT) AS butterflies FROM cn""".stripMargin
+
+  /** Twin of [[graft.Bipartite.butterflyPerVertex]]: per-user participation. */
+  val butterfliesPerUser: String =
+    s"""WITH $hourlyMembershipCte,
+       |cn AS (
+       |  SELECT l.u AS a, r.u AS b, count(*) AS cn
+       |  FROM mem l JOIN mem r ON r.hr = l.hr AND l.u < r.u
+       |  GROUP BY 1, 2),
+       |credit AS (
+       |  SELECT v, CAST(sum(c2) // 2 AS BIGINT) AS bf FROM (
+       |    SELECT a AS v, cn * (cn - 1) AS c2 FROM cn
+       |    UNION ALL SELECT b AS v, cn * (cn - 1) AS c2 FROM cn)
+       |  GROUP BY v)
+       |SELECT m.v, coalesce(credit.bf, 0) AS butterflies
+       |FROM (SELECT DISTINCT u AS v FROM mem) m
+       |LEFT JOIN credit ON credit.v = m.v""".stripMargin
+
+  /** Twin of [[graft.docs.Contamination.ngramOverlap]] — shares
+    * [[shingleHashCtes]] with the MinHash oracles (one hash rendering). */
+  def contamination(k: Int, evalMod: Int, threshold: Double): String =
+    s"""WITH ${shingleHashCtes(k)},
+       |ev AS (SELECT doc_id FROM documents WHERE ((doc_id % $evalMod) + $evalMod) % $evalMod = 0),
+       |eh AS (SELECT DISTINCT x FROM hx JOIN ev USING (doc_id)),
+       |tr AS (
+       |  SELECT h.doc_id, h.x FROM hx h
+       |  LEFT JOIN ev ON ev.doc_id = h.doc_id
+       |  WHERE ev.doc_id IS NULL)
+       |SELECT tr.doc_id, count(*) AS n_shingles, count(eh.x) AS n_hit,
+       |       round(CAST(count(eh.x) AS DOUBLE) / count(*), 6) AS overlap,
+       |       CAST(count(eh.x) AS DOUBLE) / count(*) >= $threshold AS contaminated
+       |FROM tr LEFT JOIN eh ON eh.x = tr.x
+       |GROUP BY tr.doc_id""".stripMargin
 }

@@ -173,6 +173,20 @@ object SparkEntry {
     // at fixpoint, so early convergence yields identical rows)
     "ktruss_edges" -> ((s, d) =>
       TriangleCount.ktrussEdges(s, orientedOf(s, d), k = 4, maxRounds = 2)),
+    // k-core peel (k=72, round budget 2 — converged at sf0.01: rounds 3+ are
+    // no-ops there): degree-only sibling of ktruss_edges, same fixed-budget
+    // idempotence argument makes it unrolled-SQL expressible
+    "kcore_vertices" -> ((s, d) =>
+      GraphCore.kcoreVertices(canonical(s, d), k = 72, maxRounds = 2)),
+    // link prediction over open wedges (the non-edges the triangle kernel
+    // skips): common-neighbor / Adamic-Adar / Jaccard per distance-2 pair
+    "link_prediction" -> ((s, d) => LinkPredict.scores(canonical(s, d))),
+    // bipartite butterfly (2×2 biclique) counting over user × active-hour
+    // incidence — the bipartite analog of the triangle kernel
+    "butterflies_global" -> ((s, d) =>
+      Bipartite.butterflyCount(Bipartite.hourlyMembership(Ingest.table(s, d, "events")))),
+    "butterflies_per_user" -> ((s, d) =>
+      Bipartite.butterflyPerVertex(Bipartite.hourlyMembership(Ingest.table(s, d, "events")))),
     // CSR offsets (distributed two-level prefix sum) + edge-balanced block split —
     // the reference's get_split_v2 semantics, oracle-checked
     "csr_blocks" -> ((s, d) =>
@@ -236,6 +250,11 @@ object SparkEntry {
     "stratified_sample" -> ((s, d) =>
       docs.Curation.stratifiedSample(Ingest.table(s, d, "documents"),
         rates = Seq("en" -> 30, "de" -> 60), defaultRate = 100)),
+    // benchmark-contamination scan: per-doc shingle overlap against a (tiny,
+    // broadcast) eval subset — doc_id ≡ 0 (mod 11) plays the eval set here
+    "contamination_scan" -> ((s, d) =>
+      docs.Contamination.ngramOverlap(Ingest.table(s, d, "documents"),
+        evalPred = pmod(col("doc_id"), lit(11)) === 0, k = 5, threshold = 0.5)),
     // greedy token-budget shard packing per language (sequence-packing prep)
     "token_pack_shards" -> ((s, d) =>
       docs.Curation.tokenPackShards(Ingest.table(s, d, "documents"), budget = 5000L)),
@@ -415,6 +434,11 @@ object SparkEntry {
     "embed_cluster_canonical" -> OracleSql.embedClusterCanonical(64, 0.4, 5, 40),
     "stratified_sample" -> OracleSql.stratifiedSample(Seq("en" -> 30, "de" -> 60), 100),
     "token_pack_shards" -> OracleSql.tokenPackShards(5000L),
-    "token_pack_shards_scalable" -> OracleSql.tokenPackShards(5000L)
+    "token_pack_shards_scalable" -> OracleSql.tokenPackShards(5000L),
+    "kcore_vertices" -> OracleSql.kcorePeel(72, 2),
+    "link_prediction" -> OracleSql.linkPrediction,
+    "butterflies_global" -> OracleSql.butterfliesGlobal,
+    "butterflies_per_user" -> OracleSql.butterfliesPerUser,
+    "contamination_scan" -> OracleSql.contamination(5, 11, 0.5)
   )
 }
