@@ -777,6 +777,26 @@ object OracleSql {
        |  FROM s)
        |SELECT q_id, nbr_id, score, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= $k""".stripMargin
 
+  /** Twin of [[graft.TriangleCount.globalSampled]]: the same deterministic
+    * data-keyed coin (pmod spelled out — sign-mirrored like the
+    * stratified-sample oracle), exact count on the sample, integral rescale. */
+  def trianglesSampled(ratePct: Int): String = {
+    require(ratePct > 0 && ratePct <= 100 && 100 % ratePct == 0)
+    val scale = { val f = 100L / ratePct; f * f * f }
+    def leg(p: Long, mult: Long): String =
+      s"(((((src % $p) + $p) % $p) * $mult + (((dst % $p) + $p) % $p)) % $p * 2654435761) % $p"
+    s"""WITH $edgesCte,
+       |samp AS (
+       |  SELECT src, dst FROM e
+       |  WHERE (${leg(1000000007L, 31L)} + ${leg(1000000009L, 131L)}) % 100 < $ratePct),
+       |cnt AS (
+       |  SELECT count(*) AS c
+       |  FROM samp e1
+       |  JOIN samp e2 ON e2.src = e1.dst
+       |  JOIN samp e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+       |SELECT c AS sampled_triangles, c * $scale AS estimate FROM cnt""".stripMargin
+  }
+
   /** Twin of [[graft.GraphCore.kcoreVertices]] with a fixed round budget:
     * `rounds` unrolled synchronous peels (drop every vertex under degree k,
     * with its edges, per round) — the degree-only sibling of [[ktrussPeel]];

@@ -173,6 +173,10 @@ object SparkEntry {
     // at fixpoint, so early convergence yields identical rows)
     "ktruss_edges" -> ((s, d) =>
       TriangleCount.ktrussEdges(s, orientedOf(s, d), k = 4, maxRounds = 2)),
+    // DOULION-style sampled triangle estimate (rate 50% — deterministic
+    // data-keyed coin, so the estimate itself is oracle-exact)
+    "triangles_sampled" -> ((s, d) =>
+      TriangleCount.globalSampled(canonical(s, d), ratePct = 50)),
     // k-core peel (k=72, round budget 2 — converged at sf0.01: rounds 3+ are
     // no-ops there): degree-only sibling of ktruss_edges, same fixed-budget
     // idempotence argument makes it unrolled-SQL expressible
@@ -435,6 +439,7 @@ object SparkEntry {
     "stratified_sample" -> OracleSql.stratifiedSample(Seq("en" -> 30, "de" -> 60), 100),
     "token_pack_shards" -> OracleSql.tokenPackShards(5000L),
     "token_pack_shards_scalable" -> OracleSql.tokenPackShards(5000L),
+    "triangles_sampled" -> OracleSql.trianglesSampled(50),
     "kcore_vertices" -> OracleSql.kcorePeel(72, 2),
     "link_prediction" -> OracleSql.linkPrediction,
     "butterflies_global" -> OracleSql.butterfliesGlobal,

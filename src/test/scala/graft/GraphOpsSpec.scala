@@ -91,6 +91,38 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(uncapped === Set((0L, 2L), (0L, 3L), (1L, 2L), (2L, 3L), (1L, 3L)))
   }
 
+  test("sampled triangles: rate 100 reproduces the exact count with scale 1") {
+    val rnd = new scala.util.Random(3)
+    val edges = Seq.fill(500)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+    val c = canonical(edges)
+    val exact = TriangleCount.globalRelational(GraphCore.orientClean(TestSpark.edgeDF(edges)))
+      .collect().head.getLong(0)
+    val r = TriangleCount.globalSampled(c, ratePct = 100).collect().head
+    assert(r.getLong(0) === exact && r.getLong(1) === exact)
+  }
+
+  test("sampled triangles: estimate is the integral 8x rescale, deterministic, and near the truth") {
+    val rnd = new scala.util.Random(3)
+    val edges = Seq.fill(500)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+    val c = canonical(edges)
+    val exact = TriangleCount.globalSampled(c, 100).collect().head.getLong(0)
+    val r1 = TriangleCount.globalSampled(c, 50).collect().head
+    val r2 = TriangleCount.globalSampled(c, 50).collect().head
+    assert(r1.getLong(1) === 8L * r1.getLong(0), "rate 50 rescale is (100/50)^3")
+    assert((r1.getLong(0), r1.getLong(1)) === ((r2.getLong(0), r2.getLong(1))),
+      "data-keyed coin must be retry/run stable")
+    // the coin is deterministic, so this bound is a fixed fact of the fixture,
+    // not a flaky statistical assertion
+    assert(math.abs(r1.getLong(1) - exact).toDouble / exact < 0.5,
+      s"estimate ${r1.getLong(1)} vs exact $exact drifted beyond the fixture's known error")
+  }
+
+  test("sampled triangles: rate must divide 100") {
+    intercept[IllegalArgumentException] {
+      TriangleCount.globalSampled(canonical(triPath), ratePct = 30)
+    }
+  }
+
   private def membershipDF(rows: Seq[(Long, Long)]) = rows.toDF("u", "hr")
 
   test("butterflies: K2,2 has exactly one, K3,3 has nine, a star has none") {
