@@ -43,6 +43,21 @@ object GraphCore {
         greatest(col("src"), col("dst")).as("dst"))
       .distinct()
 
+  /** Weighted twin of [[clean]]: arbitrary (src, dst) pair table → canonical
+    * undirected edges with co-occurrence multiplicity — (src, dst, w) where w
+    * counts how often the pair appeared (both directions folded together).
+    * Where [[clean]]'s `distinct` throws the multiplicity away, this keeps it
+    * as the natural edge weight for weighted kernels. Same single shuffle
+    * (the groupBy, map-side combined, canonicalized map-side). */
+  def cleanWeighted(pairs: DataFrame): DataFrame =
+    pairs
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+      .select(
+        least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("w"))
+
   /** Exact per-vertex degree of the canonical undirected edge set.
     * One row per vertex: (v, deg). */
   def degrees(canonical: DataFrame): DataFrame =

@@ -49,6 +49,21 @@ object Ingest {
     GraphCore.clean(pairs)
   }
 
+  /** Weighted twin of [[edgesFromEvents]]: the same temporal co-occurrence
+    * derivation, keeping the pair multiplicity as the edge weight instead of
+    * deduplicating — (src, dst, w). Repeated co-occurrence is signal (how often
+    * two participants follow each other), and the weighted kernels
+    * ([[PageRank.weightedFixedIterations]]) consume it directly. */
+  def weightedEdgesFromEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = table(spark, sfDir, "events")
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("event_type"), col("ts"), col("event_id"), col("user_id"))
+      .withColumn("prev", lag(col("user_id"), 1).over(w))
+      .select(col("user_id").as("src"), col("prev").as("dst"))
+    GraphCore.cleanWeighted(pairs)
+  }
+
   /** Two-level (bucketed) twin of [[edgesFromEvents]] — the scale path for the
     * temporal co-occurrence derivation: [[edgesFromEvents]] windows by
     * `event_type` alone, so a corpus with few types would sort entire types in

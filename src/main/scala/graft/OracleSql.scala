@@ -153,6 +153,39 @@ object OracleSql {
     sb.toString
   }
 
+  /** Twin of [[graft.PageRank.weightedFixedIterations]] over the multiplicity-
+    * weighted event co-occurrence edges, unrolled like [[pagerankFixed]];
+    * contributions are `pr * wt / wdeg` evaluated left-to-right — the exact
+    * association the Spark side mirrors. */
+  def pagerankWeightedFixed(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append("WITH ").append(edgesCte).append(",\n")
+    sb.append(
+      """we AS (
+        |  SELECT least(cur, prev) AS src, greatest(cur, prev) AS dst, count(*) AS wt
+        |  FROM lagd WHERE prev IS NOT NULL AND prev <> cur
+        |  GROUP BY 1, 2),
+        |wud AS (SELECT src AS u, dst AS t, wt FROM we UNION ALL SELECT dst AS u, src AS t, wt FROM we),
+        |wdeg AS (SELECT u, sum(wt) AS wdeg FROM wud GROUP BY u),
+        |wverts AS (SELECT DISTINCT u AS v FROM wud),
+        |n AS (SELECT count(*) AS n FROM wverts),
+        |w0 AS (SELECT wverts.v AS v, 1.0 / n.n AS pr FROM wverts CROSS JOIN n)""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(s""",
+        |ws$i AS (
+        |  SELECT wud.t AS v, sum(w${i - 1}.pr * wud.wt / wdeg.wdeg) AS s
+        |  FROM wud
+        |  JOIN w${i - 1} ON w${i - 1}.v = wud.u
+        |  JOIN wdeg ON wdeg.u = wud.u
+        |  GROUP BY wud.t),
+        |w$i AS (
+        |  SELECT wverts.v AS v, 0.15 / n.n + 0.85 * coalesce(ws$i.s, 0) AS pr
+        |  FROM wverts CROSS JOIN n LEFT JOIN ws$i ON ws$i.v = wverts.v)""".stripMargin)
+    }
+    sb.append(s"\nSELECT v, round(pr, 6) AS pr FROM w$iters")
+    sb.toString
+  }
+
   /** Synchronous label propagation at exactly `iters` steps, unrolled. Tie-break:
     * highest neighbor-label count, then smallest label. */
   def lpaFixed(iters: Int): String = {

@@ -36,6 +36,40 @@ object PageRank {
   def fixedIterations(canonical: DataFrame, iters: Int, damping: Double = 0.85): DataFrame =
     iterate(canonical, iters, None, damping, None, Int.MaxValue)
 
+  /** Weighted PageRank at exactly `iters` iterations over a canonical weighted
+    * edge table (src, dst, w): contributions proportional to edge weight,
+    * prᵏ⁺¹(v) = (1−d)/n + d·Σ_{u→v} prᵏ(u)·w(u,v)/wdeg(u) with wdeg the
+    * weighted degree. Same scale discipline as the unweighted [[iterate]]:
+    * links joined with weighted degrees ONCE and hash-partitioned by `src`,
+    * only the vertex-sized rank table moves per iteration, lazy per-iteration
+    * lineage truncation. The (pr·w)/wdeg association mirrors the oracle's
+    * left-to-right SQL evaluation so rounded ranks can never drift.
+    * Output (v, pr). */
+  def weightedFixedIterations(weighted: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+    val sym = weighted.select(col("src"), col("dst"), col("w"))
+      .unionAll(weighted.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    val wdeg = sym.groupBy("src").agg(sum(col("w")).as("wdeg"))
+    val links = sym.join(wdeg, "src")
+      .select(col("src"), col("dst"), col("w"), col("wdeg"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = sym.select(col("src").as("v")).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val n = verts.count()
+    val base = (1.0 - damping) / n
+    var ranks = verts.select(col("v"), lit(1.0 / n).as("pr")).localCheckpoint(false)
+    for (_ <- 1 to iters) {
+      ranks = links
+        .join(ranks.withColumnRenamed("v", "src"), "src")
+        .select(col("dst").as("v"), (col("pr") * col("w") / col("wdeg")).as("c"))
+        .groupBy("v")
+        .agg((lit(base) + lit(damping) * sum("c")).as("pr"))
+        .localCheckpoint(false)
+    }
+    links.unpersist()
+    verts.unpersist()
+    ranks
+  }
+
   private def iterate(
       canonical: DataFrame,
       maxIter: Int,

@@ -208,6 +208,11 @@ object SparkEntry {
       PageRank.fixedIterations(canonical(s, d), 10)
         .select(col("v"), round(col("pr"), 6).as("pr"))),
     "lpa_2step" -> ((s, d) => LabelProp.run(canonical(s, d), 2)),
+    // weighted PageRank over co-occurrence MULTIPLICITY edges (repeat
+    // co-occurrence is signal the distinct-deduped canonical table discards)
+    "pagerank_weighted_10iter" -> ((s, d) =>
+      PageRank.weightedFixedIterations(Ingest.weightedEdgesFromEvents(s, d), 10)
+        .select(col("v"), round(col("pr"), 6).as("pr"))),
     // gap-based sessionization of the events stream (30-minute gap)
     "sessionize" -> ((s, d) =>
       Ingest.sessionize(Ingest.table(s, d, "events"), gapSeconds = 1800)),
@@ -401,6 +406,7 @@ object SparkEntry {
     "triangles_per_vertex_sharded" -> OracleSql.trianglesPerVertex,
     "connected_components" -> OracleSql.connectedComponents,
     "pagerank_10iter" -> OracleSql.pagerankFixed(10),
+    "pagerank_weighted_10iter" -> OracleSql.pagerankWeightedFixed(10),
     "lpa_2step" -> OracleSql.lpaFixed(2),
     "q1_agg" -> OracleSql.q1Agg,
     "token_count" -> OracleSql.tokenCount,

@@ -100,6 +100,53 @@ class PageRankSpec extends AnyFunSuite {
     got.foreach { case (v, p) => assert(math.abs(p - want(v)) < 1e-9, s"v=$v") }
   }
 
+  /** Weighted golden: independent in-memory power iteration with per-edge
+    * weights (contribution pr(u)·w(u,v)/wdeg(u)). */
+  private def goldenWeightedPr(
+      edges: Seq[((Long, Long), Long)], iters: Int, damping: Double = 0.85): Map[Long, Double] = {
+    val vs = edges.flatMap { case ((u, v), _) => Seq(u, v) }.distinct.sorted
+    val idx = vs.zipWithIndex.toMap
+    val adj = Array.fill(vs.length)(List.empty[(Int, Long)])
+    edges.foreach { case ((u, v), w) =>
+      adj(idx(u)) = (idx(v), w) :: adj(idx(u))
+      adj(idx(v)) = (idx(u), w) :: adj(idx(v))
+    }
+    val wdeg = adj.map(_.map(_._2).sum.toDouble)
+    val n = vs.length
+    var pr = Array.fill(n)(1.0 / n)
+    for (_ <- 0 until iters) {
+      val next = Array.fill(n)((1.0 - damping) / n)
+      for (u <- 0 until n; (v, w) <- adj(u)) next(v) += damping * pr(u) * w / wdeg(u)
+      pr = next
+    }
+    vs.zip(pr).toMap
+  }
+
+  test("weighted pagerank matches an independent weighted power iteration") {
+    val s = spark; import s.implicits._
+    val weighted = Seq(((0L, 1L), 5L), ((1L, 2L), 1L), ((0L, 2L), 1L), ((2L, 3L), 2L))
+    val df = weighted.map { case ((a, b), w) => (a, b, w) }
+      .toDF("src", "dst", "w")
+    val got = PageRank.weightedFixedIterations(df, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = goldenWeightedPr(weighted, 10)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (v, p) => assert(math.abs(p - want(v)) < 1e-9, s"v=$v") }
+    // the heavy 0-1 edge must pull rank toward 0 and 1 relative to uniform
+    assert(got(0L) > got(3L) && got(1L) > got(3L))
+  }
+
+  test("weighted pagerank with unit weights equals unweighted pagerank") {
+    val canonical = GraphCore.clean(edgeDF(fixtures.nvgraph8))
+    val unitW = canonical.withColumn("w", org.apache.spark.sql.functions.lit(1L))
+    val weighted = PageRank.weightedFixedIterations(unitW, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val plain = PageRank.fixedIterations(canonical, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(weighted.keySet === plain.keySet)
+    weighted.foreach { case (v, p) => assert(math.abs(p - plain(v)) < 1e-12, s"v=$v") }
+  }
+
   test("converged ranks sum to ~1 and are stable under extra iterations") {
     val canonical = GraphCore.clean(edgeDF(fixtures.nvgraph8))
     val got = PageRank.run(canonical, maxIter = 200, tol = 1e-9)
