@@ -186,6 +186,34 @@ object OracleSql {
     sb.toString
   }
 
+  /** Twin of [[graft.PageRank.personalizedFixedIterations]] with source set
+    * v ≡ 0 (mod `srcMod`), unrolled like [[pagerankFixed]]; the teleport term
+    * is the same per-row CASE the Spark side evaluates. */
+  def pagerankPersonalizedFixed(iters: Int, srcMod: Int): String = {
+    def isSrc(ref: String) = s"(($ref % $srcMod) + $srcMod) % $srcMod = 0"
+    val sb = new StringBuilder
+    sb.append("WITH ").append(graphCtes).append(",\n")
+    sb.append(s"""ns AS (SELECT count(*) AS ns FROM verts WHERE ${isSrc("v")}),
+      |p0 AS (
+      |  SELECT verts.v AS v, CASE WHEN ${isSrc("verts.v")} THEN 1.0 / ns.ns ELSE 0 END AS pr
+      |  FROM verts CROSS JOIN ns)""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(s""",
+        |ps$i AS (
+        |  SELECT ud.w AS v, sum(p${i - 1}.pr / deg.deg) AS s
+        |  FROM ud
+        |  JOIN p${i - 1} ON p${i - 1}.v = ud.u
+        |  JOIN deg ON deg.v = ud.u
+        |  GROUP BY ud.w),
+        |p$i AS (
+        |  SELECT verts.v AS v,
+        |         CASE WHEN ${isSrc("verts.v")} THEN 0.15 / ns.ns ELSE 0 END + 0.85 * coalesce(ps$i.s, 0) AS pr
+        |  FROM verts CROSS JOIN ns LEFT JOIN ps$i ON ps$i.v = verts.v)""".stripMargin)
+    }
+    sb.append(s"\nSELECT v, round(pr, 6) AS pr FROM p$iters")
+    sb.toString
+  }
+
   /** Synchronous label propagation at exactly `iters` steps, unrolled. Tie-break:
     * highest neighbor-label count, then smallest label. */
   def lpaFixed(iters: Int): String = {

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -63,6 +63,49 @@ object PageRank {
         .select(col("dst").as("v"), (col("pr") * col("w") / col("wdeg")).as("c"))
         .groupBy("v")
         .agg((lit(base) + lit(damping) * sum("c")).as("pr"))
+        .localCheckpoint(false)
+    }
+    links.unpersist()
+    verts.unpersist()
+    ranks
+  }
+
+  /** Personalized PageRank at exactly `iters` iterations: random walk with
+    * restart into a source SET — teleport mass goes only to vertices matching
+    * `isSource` (uniformly), so ranks measure proximity to the sources
+    * (Jeh & Widom 2003 semantics, fixed-iteration form).
+    *
+    * `isSource` is a pure column predicate over the vertex id (e.g.
+    * `v => pmod(v, 7) === 0`), NOT a vertex table: evaluating it per-row keeps
+    * the per-iteration plan join-free on the vertex side — the same
+    * "only the rank table moves" discipline as the global kernel (a source
+    * TABLE would re-introduce the per-iteration vertex join the round-3 work
+    * removed). For an extensional source list, ship it as a broadcast IN-list
+    * or a Bloom predicate. Output (v, pr); Σ pr ≤ 1 with the deficit being
+    * walk mass absorbed at restart — the standard PPR normalization. */
+  def personalizedFixedIterations(
+      canonical: DataFrame,
+      isSource: Column => Column,
+      iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    val sym = GraphCore.symmetric(canonical)
+    val deg = GraphCore.degrees(canonical).withColumnRenamed("v", "src")
+    val links = sym.join(deg, "src")
+      .select(col("src"), col("dst"), col("deg"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = GraphCore.vertices(canonical).persist(StorageLevel.MEMORY_AND_DISK)
+    val nS = verts.where(isSource(col("v"))).count()
+    require(nS > 0, "personalized PageRank needs at least one source vertex")
+    def tele(v: Column, mass: Double): Column =
+      when(isSource(v), lit(mass / nS)).otherwise(lit(0.0))
+    var ranks = verts.select(col("v"), tele(col("v"), 1.0).as("pr")).localCheckpoint(false)
+    for (_ <- 1 to iters) {
+      ranks = links
+        .join(ranks.withColumnRenamed("v", "src"), "src")
+        .select(col("dst").as("v"), (col("pr") / col("deg")).as("c"))
+        .groupBy("v")
+        .agg((tele(col("v"), 1.0 - damping) + lit(damping) * sum("c")).as("pr"))
         .localCheckpoint(false)
     }
     links.unpersist()

@@ -213,6 +213,12 @@ object SparkEntry {
     "pagerank_weighted_10iter" -> ((s, d) =>
       PageRank.weightedFixedIterations(Ingest.weightedEdgesFromEvents(s, d), 10)
         .select(col("v"), round(col("pr"), 6).as("pr"))),
+    // personalized PageRank: random walk with restart into the v ≡ 0 (mod 7)
+    // source set — proximity ranking, teleport as a per-row predicate (no
+    // per-iteration vertex join)
+    "pagerank_personalized_10iter" -> ((s, d) =>
+      PageRank.personalizedFixedIterations(canonical(s, d), v => pmod(v, lit(7)) === 0, 10)
+        .select(col("v"), round(col("pr"), 6).as("pr"))),
     // gap-based sessionization of the events stream (30-minute gap)
     "sessionize" -> ((s, d) =>
       Ingest.sessionize(Ingest.table(s, d, "events"), gapSeconds = 1800)),
@@ -407,6 +413,7 @@ object SparkEntry {
     "connected_components" -> OracleSql.connectedComponents,
     "pagerank_10iter" -> OracleSql.pagerankFixed(10),
     "pagerank_weighted_10iter" -> OracleSql.pagerankWeightedFixed(10),
+    "pagerank_personalized_10iter" -> OracleSql.pagerankPersonalizedFixed(10, 7),
     "lpa_2step" -> OracleSql.lpaFixed(2),
     "q1_agg" -> OracleSql.q1Agg,
     "token_count" -> OracleSql.tokenCount,

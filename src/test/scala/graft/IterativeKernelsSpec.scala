@@ -147,6 +147,53 @@ class PageRankSpec extends AnyFunSuite {
     weighted.foreach { case (v, p) => assert(math.abs(p - plain(v)) < 1e-12, s"v=$v") }
   }
 
+  /** PPR golden: teleport only into `sources`, uniformly. */
+  private def goldenPpr(
+      edges: Seq[(Long, Long)], sources: Set[Long], iters: Int,
+      damping: Double = 0.85): Map[Long, Double] = {
+    val canon = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val vs = canon.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val idx = vs.zipWithIndex.toMap
+    val adj = Array.fill(vs.length)(List.empty[Int])
+    canon.foreach { case (u, v) =>
+      adj(idx(u)) = idx(v) :: adj(idx(u))
+      adj(idx(v)) = idx(u) :: adj(idx(v))
+    }
+    val nS = vs.count(sources)
+    def tele(v: Long, mass: Double) = if (sources(v)) mass / nS else 0.0
+    var pr = vs.map(v => tele(v, 1.0)).toArray
+    for (_ <- 0 until iters) {
+      val next = vs.map(v => tele(v, 1.0 - damping)).toArray
+      for (u <- 0 until n0(adj); v <- adj(u)) next(v) += damping * pr(u) / adj(u).size
+      pr = next
+    }
+    vs.zip(pr).toMap
+  }
+  private def n0(a: Array[List[Int]]) = a.length
+
+  test("personalized pagerank matches an independent golden and concentrates near sources") {
+    val sources = Set(0L) // fixtures.nvgraph8 vertices are 0..5
+    val got = PageRank.personalizedFixedIterations(
+        GraphCore.clean(edgeDF(fixtures.nvgraph8)),
+        v => v === 0L, iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = goldenPpr(fixtures.nvgraph8, sources, 10)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (v, p) => assert(math.abs(p - want(v)) < 1e-9, s"v=$v") }
+    // proximity semantics: the source outranks the far end of the graph
+    assert(got(0L) > got(5L))
+  }
+
+  test("personalized pagerank with ALL vertices as sources equals global pagerank") {
+    val canonical = GraphCore.clean(edgeDF(fixtures.nvgraph8))
+    val ppr = PageRank.personalizedFixedIterations(canonical, _ => org.apache.spark.sql.functions.lit(true), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val global = PageRank.fixedIterations(canonical, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ppr.foreach { case (v, p) => assert(math.abs(p - global(v)) < 1e-12, s"v=$v") }
+  }
+
   test("converged ranks sum to ~1 and are stable under extra iterations") {
     val canonical = GraphCore.clean(edgeDF(fixtures.nvgraph8))
     val got = PageRank.run(canonical, maxIter = 200, tol = 1e-9)
