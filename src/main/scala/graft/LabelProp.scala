@@ -47,6 +47,34 @@ object LabelProp {
     labels
   }
 
+  /** Weighted synchronous LPA over a canonical weighted edge table
+    * (src, dst, w): neighbor votes count w(u,v) instead of 1, so strongly
+    * co-occurring pairs pull labels harder — the natural pairing of
+    * [[PageRank.weightedFixedIterations]] on the
+    * [[Ingest.weightedEdgesFromEvents]] multiplicity edges. Same deterministic
+    * (weight desc, label asc) tie-break and the same map-side-combinable
+    * `max_by` argmax (no window) as the unweighted [[step]]. */
+  def runWeighted(weighted: DataFrame, iters: Int): DataFrame = {
+    val sym = weighted.select(col("src"), col("dst"), col("w"))
+      .unionAll(weighted.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters)
+      labels = stepWeighted(sym, labels).localCheckpoint(true)
+    labels
+  }
+
+  private[graft] def stepWeighted(sym: DataFrame, labels: DataFrame): DataFrame =
+    sym
+      .join(labels.select(col("v").as("src"), col("label").as("nlbl")), "src")
+      .groupBy(col("dst").as("v"), col("nlbl"))
+      .agg(sum(col("w")).as("n"))
+      .groupBy("v")
+      .agg(max_by(col("nlbl"), struct(col("n"), -col("nlbl"))).as("label"))
+
   /** One synchronous step: (v, label) → (v, label). Every vertex of `sym` has ≥1
     * neighbor, so the output covers the same vertex set. */
   private[graft] def step(sym: DataFrame, labels: DataFrame): DataFrame = {

@@ -236,6 +236,34 @@ object OracleSql {
     sb.toString
   }
 
+  /** Twin of [[graft.LabelProp.runWeighted]]: neighbor votes weighted by the
+    * co-occurrence multiplicity, same (weight desc, label asc) tie-break. */
+  def lpaWeightedFixed(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append("WITH ").append(edgesCte).append(",\n")
+    sb.append(
+      """we AS (
+        |  SELECT least(cur, prev) AS src, greatest(cur, prev) AS dst, count(*) AS wt
+        |  FROM lagd WHERE prev IS NOT NULL AND prev <> cur
+        |  GROUP BY 1, 2),
+        |wud AS (SELECT src AS u, dst AS t, wt FROM we UNION ALL SELECT dst AS u, src AS t, wt FROM we),
+        |wl0 AS (SELECT DISTINCT u AS v, u AS label FROM wud)""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(s""",
+        |wc$i AS (
+        |  SELECT wud.t AS v, wl${i - 1}.label AS lbl, sum(wud.wt) AS n
+        |  FROM wud JOIN wl${i - 1} ON wl${i - 1}.v = wud.u
+        |  GROUP BY wud.t, wl${i - 1}.label),
+        |wl$i AS (
+        |  SELECT v, lbl AS label FROM (
+        |    SELECT v, lbl, row_number() OVER (PARTITION BY v ORDER BY n DESC, lbl ASC) AS rn
+        |    FROM wc$i) t
+        |  WHERE rn = 1)""".stripMargin)
+    }
+    sb.append(s"\nSELECT v, label FROM wl$iters")
+    sb.toString
+  }
+
   val q1Agg: String =
     """SELECT l_returnflag, l_linestatus,
       |       round(sum(l_quantity), 4) AS sum_qty,

@@ -213,6 +213,9 @@ object SparkEntry {
     "pagerank_weighted_10iter" -> ((s, d) =>
       PageRank.weightedFixedIterations(Ingest.weightedEdgesFromEvents(s, d), 10)
         .select(col("v"), round(col("pr"), 6).as("pr"))),
+    // weighted LPA: label votes carry the co-occurrence multiplicity
+    "lpa_weighted_2step" -> ((s, d) =>
+      LabelProp.runWeighted(Ingest.weightedEdgesFromEvents(s, d), 2)),
     // personalized PageRank: random walk with restart into the v ≡ 0 (mod 7)
     // source set — proximity ranking, teleport as a per-row predicate (no
     // per-iteration vertex join)
@@ -414,6 +417,7 @@ object SparkEntry {
     "pagerank_10iter" -> OracleSql.pagerankFixed(10),
     "pagerank_weighted_10iter" -> OracleSql.pagerankWeightedFixed(10),
     "pagerank_personalized_10iter" -> OracleSql.pagerankPersonalizedFixed(10, 7),
+    "lpa_weighted_2step" -> OracleSql.lpaWeightedFixed(2),
     "lpa_2step" -> OracleSql.lpaFixed(2),
     "q1_agg" -> OracleSql.q1Agg,
     "token_count" -> OracleSql.tokenCount,

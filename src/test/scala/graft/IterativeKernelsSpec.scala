@@ -268,6 +268,32 @@ class LabelPropSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("weighted LPA with unit weights equals unweighted LPA") {
+    val canonical = GraphCore.clean(edgeDF(fixtures.nvgraph8))
+    val unitW = canonical.withColumn("w", org.apache.spark.sql.functions.lit(1L))
+    val weighted = LabelProp.runWeighted(unitW, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = LabelProp.run(canonical, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(weighted === plain)
+  }
+
+  test("weighted LPA: a heavy edge overrules a count majority") {
+    val s = spark; import s.implicits._
+    // vertex 2 has light neighbors 0, 1 (label votes 2×1) and one heavy
+    // neighbor 3 (vote weight 5) — weighted argmax must pick 3's label
+    val weighted = Seq((0L, 2L, 1L), (1L, 2L, 1L), (2L, 3L, 5L), (0L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val one = LabelProp.runWeighted(weighted, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one(2L) === 3L, s"vertex 2 must adopt the heavy neighbor's label, got $one")
+    // sanity: with all weights equal, the count majority (smallest label 0) wins
+    val flat = LabelProp.runWeighted(
+        weighted.withColumn("w", org.apache.spark.sql.functions.lit(1L)), 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flat(2L) === 0L)
+  }
+
   test("step plans the argmax as a map-side-combinable aggregate — no window node") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val canonical = GraphCore.clean(edgeDF(fixtures.nvgraph8))
