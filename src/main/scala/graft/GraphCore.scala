@@ -199,6 +199,39 @@ object GraphCore {
   def kcoreVertices(canonical: DataFrame, k: Int, maxRounds: Int = 100): DataFrame =
     degrees(kcoreEdges(canonical, k, maxRounds))
 
+  /** Degree assortativity (Newman 2002): Pearson correlation of endpoint
+    * degrees over the symmetrized edge list — positive when hubs attach to
+    * hubs, negative in hub-and-spoke graphs. The five sufficient statistics
+    * are EXACT integer sums in one map-side-combined aggregate (a single pass
+    * over edges joined with the vertex-sized degree table); the correlation is
+    * assembled from them in double arithmetic at the end, so the only float
+    * steps are deterministic scalar ops — no sum-order sensitivity at all.
+    * Output one row (assortativity), NULL for degree-regular graphs (zero
+    * variance). */
+  def assortativity(canonical: DataFrame): DataFrame = {
+    val deg = degrees(canonical)
+    val sym = symmetric(canonical)
+      .join(deg.select(col("v").as("src"), col("deg").as("dx")), "src")
+      .join(deg.select(col("v").as("dst"), col("deg").as("dy")), "dst")
+    sym
+      .agg(
+        count(lit(1)).as("m"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .select(
+        // combine in double (exact sums convert exactly below 2^53; long
+        // products would ANSI-overflow first on a 10^12-edge graph);
+        // zero variance (degree-regular graph) → NULL, in both engines
+        round(
+          try_divide(
+            col("m").cast("double") * col("sxy") - col("sx").cast("double") * col("sy"),
+            sqrt((col("m").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")) *
+              (col("m").cast("double") * col("syy") - col("sy").cast("double") * col("sy")))),
+          6).as("assortativity"))
+  }
+
   /** Per-partition CSR-style layout (north_star): adjacency rows range-partitioned
     * by vertex id and sorted within each partition, so each partition is a
     * contiguous, ordered CSR block — the Spark analog of the reference's

@@ -935,6 +935,31 @@ object OracleSql {
        |JOIN deg du ON du.v = c.u
        |JOIN deg dw ON dw.v = c.w""".stripMargin
 
+  /** Twin of [[graft.GraphCore.assortativity]]: exact integer sufficient
+    * statistics, double combination in the same association. */
+  val assortativity: String =
+    s"""WITH $graphCtes,
+       |dd AS (
+       |  SELECT du.deg AS dx, dw.deg AS dy
+       |  FROM ud JOIN deg du ON du.v = ud.u JOIN deg dw ON dw.v = ud.w),
+       |s AS (
+       |  SELECT count(*) AS m, sum(dx) AS sx, sum(dy) AS sy,
+       |         sum(dx * dy) AS sxy, sum(dx * dx) AS sxx, sum(dy * dy) AS syy
+       |  FROM dd)
+       |SELECT round(
+       |  CASE WHEN (CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+       |            (CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) = 0 THEN NULL
+       |       ELSE (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+       |            sqrt((CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+       |                 (CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+       |  END, 6) AS assortativity
+       |FROM s""".stripMargin
+
+  /** Component size histogram over the exact min-id labels. */
+  val componentSizes: String =
+    s"""WITH comp AS ($connectedComponents)
+       |SELECT component, count(*) AS size FROM comp GROUP BY component""".stripMargin
+
   /** Shared bipartite incidence CTE: user × UTC-hour activity membership. */
   private val hourlyMembershipCte: String =
     """mem AS (

@@ -204,6 +204,12 @@ object SparkEntry {
           concat_ws(",", transform(col("nbrs"), _.cast("string"))).as("nbrs_csv"))),
     // --- iterative kernels ------------------------------------------------------
     "connected_components" -> ((s, d) => Components.run(canonical(s, d))),
+    // component size histogram (the "how fragmented is the graph" read)
+    "component_sizes" -> ((s, d) =>
+      Components.run(canonical(s, d)).groupBy("component")
+        .agg(count(lit(1)).as("size"))),
+    // degree assortativity: exact integer sufficient stats, scalar combine
+    "assortativity" -> ((s, d) => GraphCore.assortativity(canonical(s, d))),
     "pagerank_10iter" -> ((s, d) =>
       PageRank.fixedIterations(canonical(s, d), 10)
         .select(col("v"), round(col("pr"), 6).as("pr"))),
@@ -414,6 +420,8 @@ object SparkEntry {
     "triangles_per_vertex_adj" -> OracleSql.trianglesPerVertex,
     "triangles_per_vertex_sharded" -> OracleSql.trianglesPerVertex,
     "connected_components" -> OracleSql.connectedComponents,
+    "component_sizes" -> OracleSql.componentSizes,
+    "assortativity" -> OracleSql.assortativity,
     "pagerank_10iter" -> OracleSql.pagerankFixed(10),
     "pagerank_weighted_10iter" -> OracleSql.pagerankWeightedFixed(10),
     "pagerank_personalized_10iter" -> OracleSql.pagerankPersonalizedFixed(10, 7),

@@ -123,6 +123,27 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("assortativity: hub-and-spoke is exactly -1, triangle-plus-tail hand-checked, regular graph NULL") {
+    def a(edges: Seq[(Long, Long)]): Option[Double] = {
+      val r = GraphCore.assortativity(canonical(edges)).collect().head
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    val star = (1L to 5L).map(i => (0L, i))
+    assert(a(star) === Some(-1.0))
+    assert(a(triPath.take(4)) === Some(-0.714286)) // triangle + one tail edge
+    // every vertex of a triangle has degree 2 — zero variance, undefined r
+    assert(a(Seq((0L, 1L), (1L, 2L), (0L, 2L))) === None)
+  }
+
+  test("component sizes: two disjoint cliques report their sizes under min-id labels") {
+    val cliqueA = for (i <- 0 to 2; j <- i + 1 to 2) yield (i.toLong, j.toLong)
+    val cliqueB = for (i <- 10 to 13; j <- i + 1 to 13) yield (i.toLong, j.toLong)
+    val sizes = Components.run(canonical(cliqueA ++ cliqueB))
+      .groupBy("component").agg(count(lit(1)).as("size"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes === Map(0L -> 3L, 10L -> 4L))
+  }
+
   private def membershipDF(rows: Seq[(Long, Long)]) = rows.toDF("u", "hr")
 
   test("butterflies: K2,2 has exactly one, K3,3 has nine, a star has none") {
