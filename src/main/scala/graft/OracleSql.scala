@@ -960,6 +960,28 @@ object OracleSql {
     s"""WITH comp AS ($connectedComponents)
        |SELECT component, count(*) AS size FROM comp GROUP BY component""".stripMargin
 
+  /** Twin of [[graft.Bfs.distances]] with source set v ≡ 0 (mod `srcMod`):
+    * `rounds` unrolled min-plus relaxations. */
+  def bfsDistances(rounds: Int, srcMod: Int): String = {
+    require(rounds >= 0)
+    val sb = new StringBuilder
+    sb.append("WITH ").append(graphCtes).append(",\n")
+    sb.append(s"b0 AS (SELECT v, CAST(0 AS BIGINT) AS dist FROM verts " +
+      s"WHERE ((v % $srcMod) + $srcMod) % $srcMod = 0)")
+    for (i <- 1 to rounds) {
+      sb.append(s""",
+        |b$i AS (
+        |  SELECT v, min(dist) AS dist FROM (
+        |    SELECT v, dist FROM b${i - 1}
+        |    UNION ALL
+        |    SELECT ud.w AS v, b${i - 1}.dist + 1 AS dist
+        |    FROM ud JOIN b${i - 1} ON b${i - 1}.v = ud.u)
+        |  GROUP BY v)""".stripMargin)
+    }
+    sb.append(s"\nSELECT v, dist FROM b$rounds")
+    sb.toString
+  }
+
   /** Shared bipartite incidence CTE: user × UTC-hour activity membership. */
   private val hourlyMembershipCte: String =
     """mem AS (

@@ -219,6 +219,10 @@ object SparkEntry {
     "pagerank_weighted_10iter" -> ((s, d) =>
       PageRank.weightedFixedIterations(Ingest.weightedEdgesFromEvents(s, d), 10)
         .select(col("v"), round(col("pr"), 6).as("pr"))),
+    // multi-source BFS hop distances (4 relaxation rounds ≫ this graph's
+    // diameter; relaxing a fixpoint is a no-op, so the budget is oracle-safe)
+    "bfs_distances" -> ((s, d) =>
+      Bfs.distances(canonical(s, d), v => pmod(v, lit(31)) === 0, rounds = 4)),
     // weighted LPA: label votes carry the co-occurrence multiplicity
     "lpa_weighted_2step" -> ((s, d) =>
       LabelProp.runWeighted(Ingest.weightedEdgesFromEvents(s, d), 2)),
@@ -426,6 +430,7 @@ object SparkEntry {
     "pagerank_weighted_10iter" -> OracleSql.pagerankWeightedFixed(10),
     "pagerank_personalized_10iter" -> OracleSql.pagerankPersonalizedFixed(10, 7),
     "lpa_weighted_2step" -> OracleSql.lpaWeightedFixed(2),
+    "bfs_distances" -> OracleSql.bfsDistances(4, 31),
     "lpa_2step" -> OracleSql.lpaFixed(2),
     "q1_agg" -> OracleSql.q1Agg,
     "token_count" -> OracleSql.tokenCount,

@@ -123,6 +123,34 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bfs: path-graph hop distances from one end, budget-limited frontier") {
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+    val at4 = Bfs.distances(canonical(path), _ === 0L, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(at4 === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+    // a budget below the eccentricity leaves the far vertices without a row
+    val at2 = Bfs.distances(canonical(path), _ === 0L, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(at2 === Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+  }
+
+  test("bfs: multi-source takes the minimum; extra rounds past the fixpoint are no-ops") {
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+    val two = Bfs.distances(canonical(path), v => v === 0L || v === 4L, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 0L))
+    val ten = Bfs.distances(canonical(path), v => v === 0L || v === 4L, rounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ten === two)
+  }
+
+  test("bfs: disconnected component is never reached") {
+    val twoComp = Seq((0L, 1L), (10L, 11L))
+    val got = Bfs.distances(canonical(twoComp), _ === 0L, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 1L))
+  }
+
   test("assortativity: hub-and-spoke is exactly -1, triangle-plus-tail hand-checked, regular graph NULL") {
     def a(edges: Seq[(Long, Long)]): Option[Double] = {
       val r = GraphCore.assortativity(canonical(edges)).collect().head
