@@ -28,7 +28,17 @@ object Bfs {
     * [[PageRank.personalizedFixedIterations]], and for the same reason: no
     * per-round vertex join). Output (v, dist) for vertices reached within
     * `rounds` hops; on a connected graph with rounds ≥ diameter this is every
-    * vertex. */
+    * vertex.
+    *
+    * Frontier-delta form: in unweighted BFS a settled distance never improves,
+    * so only the vertices settled LAST round propagate — round r probes the
+    * edges incident to the frontier (AQE broadcasts the small frontier into
+    * the pre-partitioned edge table), dedups the reached set map-side, and
+    * anti-joins the vertex-sized settled table. Total aggregated rows across
+    * ALL rounds ≈ m, versus m·rounds for the naive re-relax-everything
+    * min-plus (which this replaced: measured 0.67 N→4N efficiency from paying
+    * a full-edge aggregate per round; each edge now shuffles at most once,
+    * when its source enters the frontier). */
   def distances(
       canonical: DataFrame,
       isSource: Column => Column,
@@ -37,20 +47,23 @@ object Bfs {
     val sym = GraphCore.symmetric(canonical)
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var dist = GraphCore.vertices(canonical)
+    var settled = GraphCore.vertices(canonical)
       .where(isSource(col("v")))
       .select(col("v"), lit(0L).as("dist"))
       .localCheckpoint(false)
-    for (_ <- 1 to rounds) {
-      dist = dist
-        .unionAll(
-          sym.join(dist.withColumnRenamed("v", "src"), "src")
-            .select(col("dst").as("v"), (col("dist") + lit(1L)).as("dist")))
-        .groupBy("v")
-        .agg(min(col("dist")).as("dist"))
+    var frontier = settled
+    for (r <- 1 to rounds) {
+      val next = sym
+        .join(frontier.select(col("v").as("src")), "src")
+        .select(col("dst").as("v"))
+        .distinct()
+        .join(settled.select("v"), Seq("v"), "left_anti")
+        .select(col("v"), lit(r.toLong).as("dist"))
         .localCheckpoint(false)
+      settled = settled.unionAll(next).localCheckpoint(false)
+      frontier = next
     }
     sym.unpersist()
-    dist
+    settled
   }
 }

@@ -7,18 +7,19 @@ import org.apache.spark.sql.SparkSession
   * derive the edge table and run one kernel.
   *
   * Usage: `graft.Cli <kernel> <input> [maxIter]`
-  * kernels: triangles | triangles-adj | pervertex | pagerank | components | lpa | degrees
+  * kernels: triangles | triangles-adj | pervertex | pagerank | pagerank-w | components | lpa | lpa-w | degrees | kcore | bfs | linkpred | assortativity
   * input: a testdata dir (events.parquet edge derivation), or a `.bin` path — the
   * reference's own little-endian uint32 pair format (the `-f graph.bin` path).
   */
 object Cli {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
-      System.err.println("usage: graft.Cli <triangles|triangles-adj|pervertex|pagerank|components|lpa|degrees> <sfDir> [maxIter]")
+      System.err.println("usage: graft.Cli <triangles|triangles-adj|pervertex|pagerank|pagerank-w|components|lpa|lpa-w|degrees|kcore|bfs|linkpred|assortativity> <sfDir> [maxIter]")
       sys.exit(2)
     }
     val kernel = args(0)
-    val known = Set("triangles", "triangles-adj", "pervertex", "pagerank", "components", "lpa", "degrees")
+    val known = Set("triangles", "triangles-adj", "pervertex", "pagerank", "pagerank-w",
+      "components", "lpa", "lpa-w", "degrees", "kcore", "bfs", "linkpred", "assortativity")
     if (!known(kernel)) {
       System.err.println(s"unknown kernel: $kernel (expected one of ${known.toSeq.sorted.mkString(", ")})")
       sys.exit(2)
@@ -55,6 +56,17 @@ object Cli {
       case "components" => Components.run(canonical)
       case "lpa" => LabelProp.run(canonical, maxIter)
       case "degrees" => GraphCore.degrees(canonical)
+      // weighted kernels re-derive multiplicity weights from the raw pairs
+      // (clean's distinct has already discarded them on `canonical`)
+      case "pagerank-w" =>
+        PageRank.weightedFixedIterations(GraphCore.cleanWeighted(raw), maxIter)
+      case "lpa-w" => LabelProp.runWeighted(GraphCore.cleanWeighted(raw), maxIter)
+      case "kcore" => GraphCore.kcoreVertices(canonical, k = maxIter)
+      case "bfs" =>
+        import org.apache.spark.sql.functions.{lit, pmod}
+        Bfs.distances(canonical, v => pmod(v, lit(31L)) === 0L, rounds = maxIter)
+      case "linkpred" => LinkPredict.scores(canonical)
+      case "assortativity" => GraphCore.assortativity(canonical)
       case other =>
         System.err.println(s"unknown kernel: $other"); sys.exit(2); null
     }

@@ -55,7 +55,22 @@ object ScalingBench {
       }),
       "pagerank_5iter" -> (() => PageRank.fixedIterations(edges, 5)),
       "components" -> (() => Components.run(edges)),
-      "lpa_2step" -> (() => LabelProp.run(edges, 2)))
+      "lpa_2step" -> (() => LabelProp.run(edges, 2)),
+      // round-4 kernels on the same input: BFS moves only the vertex-sized
+      // distance table per round; weighted PageRank derives synthetic
+      // deterministic weights from the ids (same workload shape as production
+      // multiplicity weights without a second input artifact)
+      "bfs_4rounds" -> (() =>
+        Bfs.distances(edges, v => org.apache.spark.sql.functions.pmod(
+          v, org.apache.spark.sql.functions.lit(1000L)) === 0L, rounds = 4)),
+      "pagerank_w_5iter" -> (() => {
+        import org.apache.spark.sql.functions._
+        // per-endpoint pmod before the add: raw ids are full-range 64-bit
+        // hashes, src + dst would ANSI-overflow
+        PageRank.weightedFixedIterations(
+          edges.withColumn("w",
+            pmod(col("src"), lit(5L)) + pmod(col("dst"), lit(5L)) + lit(1L)), 5)
+      }))
   }
 
   private def gen(nConvs: Long, nTools: Int, path: String): Unit = {

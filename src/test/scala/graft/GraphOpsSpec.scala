@@ -123,6 +123,23 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("wedge operators plan as equi-joins — no cartesian product anywhere") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.Cross
+    def assertNoCartesian(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      val crosses = df.queryExecution.optimizedPlan.collect {
+        case j: Join if j.joinType == Cross || j.condition.isEmpty => j
+      }
+      assert(crosses.isEmpty, s"$what plans a cartesian join")
+    }
+    val c = canonical(triPath)
+    assertNoCartesian(LinkPredict.scores(c), "link prediction")
+    assertNoCartesian(Bipartite.butterflyCount(
+      membershipDF(Seq((0L, 1L), (1L, 1L)))), "butterfly count")
+    assertNoCartesian(Bipartite.butterflyPerVertex(
+      membershipDF(Seq((0L, 1L), (1L, 1L)))), "butterfly per-vertex")
+  }
+
   test("bfs: path-graph hop distances from one end, budget-limited frontier") {
     val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
     val at4 = Bfs.distances(canonical(path), _ === 0L, rounds = 4)
