@@ -14,6 +14,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
   }
 
+  test("driver contract: every query is oracled, waivers are explicit") {
+    // the ONLY allowed no-oracle row: convergence-loop output is not
+    // fixed-round SQL-expressible; it is pinned to a committed golden file
+    // instead (IterativeKernelsSpec)
+    val waived = Set("pagerank_converged")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- waived
+    assert(missing.isEmpty,
+      s"queries without an oracle (add one or document a waiver here): $missing")
+    assert((waived -- SparkEntry.queries.keySet).isEmpty, "stale waiver")
+  }
+
   test("CacheTracker: operator-internal persists are released per session") {
     import spark.implicits._
     val docs = Seq(0L -> "alpha beta gamma delta epsilon", 1L -> "alpha beta gamma delta zeta")
