@@ -123,6 +123,56 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bfs matches an in-memory BFS on seeded random graphs (3 seeds)") {
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      val canon = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      val adj = canon.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (v, o) => v -> o.map(_._2).toSet }
+      val sources = adj.keySet.filter(_ % 5 == 0)
+      // in-memory frontier BFS golden
+      var dist = sources.map(_ -> 0L).toMap
+      var frontier = sources
+      var d = 0L
+      while (frontier.nonEmpty && d < 6) {
+        d += 1
+        frontier = frontier.flatMap(adj).diff(dist.keySet)
+        dist ++= frontier.map(_ -> d)
+      }
+      val got = Bfs.distances(canonical(edges), v => pmod(v, lit(5L)) === 0L, rounds = 6)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === dist, s"seed=$seed")
+    }
+  }
+
+  test("cross-operator invariant: every k-truss vertex lies in the (k-1)-core") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(500)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val c = canonical(edges)
+    val o = GraphCore.orient(c, GraphCore.degrees(c))
+    for (k <- Seq(3, 4)) {
+      val truss = TriangleCount.ktrussEdges(spark, o, k, maxRounds = 50)
+        .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+      val core = GraphCore.kcoreVertices(c, k - 1, maxRounds = 50)
+        .collect().map(_.getLong(0)).toSet
+      assert(truss.subsetOf(core),
+        s"k=$k: truss vertices ${truss -- core} missing from the ${k - 1}-core")
+      assert(truss.nonEmpty, "fixture must be non-degenerate")
+    }
+  }
+
+  test("assortativity stays within [-1, 1] on seeded random graphs") {
+    for (seed <- Seq(5, 6, 7)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(300)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      val r = GraphCore.assortativity(canonical(edges)).collect().head
+      if (!r.isNullAt(0))
+        assert(math.abs(r.getDouble(0)) <= 1.0, s"seed=$seed r=${r.getDouble(0)}")
+    }
+  }
+
   test("wedge operators plan as equi-joins — no cartesian product anywhere") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     import org.apache.spark.sql.catalyst.plans.Cross
