@@ -49,6 +49,29 @@ object Ingest {
     GraphCore.clean(pairs)
   }
 
+  /** Per-day twin of [[edgesFromEvents]]: the lag co-occurrence runs inside
+    * each (event_type, day) — streams reset at day boundaries, giving one
+    * independent edge set per calendar day, (day, src, dst). The temporal-
+    * analytics input: per-day subgraphs never interact, so every downstream
+    * kernel keyed on `day` is embarrassingly parallel across days and a date
+    * predicate prunes the scan — at 10^12-turn scale the day IS the partition. */
+  def edgesFromEventsDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = table(spark, sfDir, "events")
+      .select(col("ts").cast("date").as("day"),
+        col("event_type"), col("ts"), col("event_id"), col("user_id"))
+    val w = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .withColumn("prev", lag(col("user_id"), 1).over(w))
+      .select(col("day"), col("user_id").as("src"), col("prev").as("dst"))
+    pairs
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+      .select(col("day"),
+        least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .distinct()
+  }
+
   /** Weighted twin of [[edgesFromEvents]]: the same temporal co-occurrence
     * derivation, keeping the pair multiplicity as the edge weight instead of
     * deduplicating — (src, dst, w). Repeated co-occurrence is signal (how often

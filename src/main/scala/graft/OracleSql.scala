@@ -866,6 +866,28 @@ object OracleSql {
        |  FROM s)
        |SELECT q_id, nbr_id, score, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= $k""".stripMargin
 
+  /** Twin of [[graft.Ingest.edgesFromEventsDaily]] +
+    * [[graft.TriangleCount.globalPerKey]]: per-day co-occurrence edges (lag
+    * streams reset at day boundaries), per-day 3-way join, zero rows kept. */
+  val trianglesDaily: String =
+    """WITH lagd AS (
+      |  SELECT CAST(ts AS DATE) AS day, user_id AS cur,
+      |         lag(user_id) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+      |                            ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |de AS (
+      |  SELECT DISTINCT day, least(cur, prev) AS src, greatest(cur, prev) AS dst
+      |  FROM lagd WHERE prev IS NOT NULL AND prev <> cur),
+      |cnt AS (
+      |  SELECT e1.day, count(*) AS t
+      |  FROM de e1
+      |  JOIN de e2 ON e2.day = e1.day AND e2.src = e1.dst
+      |  JOIN de e3 ON e3.day = e1.day AND e3.src = e1.src AND e3.dst = e2.dst
+      |  GROUP BY e1.day)
+      |SELECT d.day, coalesce(cnt.t, 0) AS triangles
+      |FROM (SELECT DISTINCT day FROM de) d
+      |LEFT JOIN cnt ON cnt.day = d.day""".stripMargin
+
   /** Twin of [[graft.TriangleCount.globalSampled]]: the same deterministic
     * data-keyed coin (pmod spelled out — sign-mirrored like the
     * stratified-sample oracle), exact count on the sample, integral rescale. */

@@ -173,6 +173,10 @@ object SparkEntry {
     // at fixpoint, so early convergence yields identical rows)
     "ktruss_edges" -> ((s, d) =>
       TriangleCount.ktrussEdges(s, orientedOf(s, d), k = 4, maxRounds = 2)),
+    // per-day triangle counts (temporal clustering evolution): day-keyed
+    // subgraphs join only against themselves — parallel across days
+    "triangles_daily" -> ((s, d) =>
+      TriangleCount.globalPerKey(Ingest.edgesFromEventsDaily(s, d))),
     // DOULION-style sampled triangle estimate (rate 50% — deterministic
     // data-keyed coin, so the estimate itself is oracle-exact)
     "triangles_sampled" -> ((s, d) =>
@@ -469,6 +473,7 @@ object SparkEntry {
     "stratified_sample" -> OracleSql.stratifiedSample(Seq("en" -> 30, "de" -> 60), 100),
     "token_pack_shards" -> OracleSql.tokenPackShards(5000L),
     "token_pack_shards_scalable" -> OracleSql.tokenPackShards(5000L),
+    "triangles_daily" -> OracleSql.trianglesDaily,
     "triangles_sampled" -> OracleSql.trianglesSampled(50),
     "kcore_vertices" -> OracleSql.kcorePeel(72, 2),
     "link_prediction" -> OracleSql.linkPrediction,

@@ -38,6 +38,27 @@ object TriangleCount {
   def globalRelational(oriented: DataFrame): DataFrame =
     trianglesRelational(oriented).agg(count(lit(1)).as("triangles"))
 
+  /** Per-key (e.g. per-day) triangle counts over a keyed canonical edge table
+    * (key, src, dst) with src < dst: the relational 3-way join with the key in
+    * EVERY join condition, so each key's subgraph joins only against itself —
+    * the shuffle co-partitions on (key, vertex) and distinct keys proceed in
+    * parallel with zero cross-talk (the temporal-analytics shape: clustering
+    * evolution over days). Keys whose subgraph closes no triangle keep a 0 row
+    * (left join against the distinct key set). Output (key, triangles). */
+  def globalPerKey(keyed: DataFrame, key: String = "day"): DataFrame = {
+    val e1 = keyed.select(col(key).as("k"), col("src").as("a"), col("dst").as("b"))
+    val e2 = keyed.select(col(key).as("k2"), col("src").as("b2"), col("dst").as("c"))
+    val e3 = keyed.select(col(key).as("k3"), col("src").as("a3"), col("dst").as("c3"))
+    val cnt = e1
+      .join(e2, col("k") === col("k2") && col("b") === col("b2"))
+      .join(e3, col("k") === col("k3") && col("a") === col("a3") && col("c") === col("c3"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("t"))
+    keyed.select(col(key)).distinct()
+      .join(cnt.select(col("k").as(key), col("t")), Seq(key), "left")
+      .select(col(key), coalesce(col("t"), lit(0L)).as("triangles"))
+  }
+
   /** DOULION-style approximate triangle count by deterministic edge
     * sparsification (Tsourakakis et al., KDD'09: keep each edge with
     * probability p, count exactly on the sample, scale by 1/p³ — unbiased).

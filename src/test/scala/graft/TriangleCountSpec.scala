@@ -387,4 +387,46 @@ class GraphCoreSpec extends AnyFunSuite {
     val got = GraphCore.degrees(canonical).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(0L -> 1L, 1L -> 3L, 2L -> 3L, 3L -> 4L, 4L -> 3L, 5L -> 2L))
   }
+
+  test("globalPerKey: per-key isolation, zero rows kept for triangle-free keys") {
+    val s = spark
+    import s.implicits._
+    // day A closes {1,2,3}; day B has (1,2),(2,3) — a triangle ONLY if day A's
+    // (1,3) leaked across the key boundary; day C is a lone edge
+    val keyed = Seq(
+      ("A", 1L, 2L), ("A", 2L, 3L), ("A", 1L, 3L), ("A", 3L, 9L),
+      ("B", 1L, 2L), ("B", 2L, 3L),
+      ("C", 7L, 8L)).toDF("day", "src", "dst")
+    val got = TriangleCount.globalPerKey(keyed)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("A" -> 1L, "B" -> 0L, "C" -> 0L))
+  }
+
+  test("edgesFromEventsDaily: lag stream resets at day boundaries (two-day fixture)") {
+    val s = spark
+    import s.implicits._
+    val ts = (x: String) => java.sql.Timestamp.valueOf(x)
+    // one event_type stream spanning two days; users 1,2,3,1 on day 1 close a
+    // triangle, users 4,5,6 on day 2 form a path. The day-1→day-2 boundary pair
+    // (1,4) must NOT become an edge — the per-day window resets the stream.
+    val events = Seq(
+      (10L, ts("2024-01-01 10:00:00"), 1L, "t"),
+      (11L, ts("2024-01-01 10:01:00"), 2L, "t"),
+      (12L, ts("2024-01-01 10:02:00"), 3L, "t"),
+      (13L, ts("2024-01-01 10:03:00"), 1L, "t"),
+      (20L, ts("2024-01-02 09:00:00"), 4L, "t"),
+      (21L, ts("2024-01-02 09:01:00"), 5L, "t"),
+      (22L, ts("2024-01-02 09:02:00"), 6L, "t"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val dir = java.nio.file.Files.createTempDirectory("graft-daily").toString
+    events.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val edges = Ingest.edgesFromEventsDaily(spark, dir)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+    assert(edges === Set(
+      ("2024-01-01", 1L, 2L), ("2024-01-01", 2L, 3L), ("2024-01-01", 1L, 3L),
+      ("2024-01-02", 4L, 5L), ("2024-01-02", 5L, 6L)))
+    val tri = TriangleCount.globalPerKey(Ingest.edgesFromEventsDaily(spark, dir))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(tri === Map("2024-01-01" -> 1L, "2024-01-02" -> 0L))
+  }
 }
