@@ -75,6 +75,40 @@ object LabelProp {
       .groupBy("v")
       .agg(max_by(col("nlbl"), struct(col("n"), -col("nlbl"))).as("label"))
 
+  /** Newman modularity contributions of a vertex partition over the canonical
+    * undirected edge table: per community c,
+    * `q_contrib = e_c/m − (d_c/2m)²` where e_c = intra-community edges, d_c =
+    * degree mass, m = |E| — so `sum(q_contrib)` is the classic Q score of the
+    * partition (Newman & Girvan 2004). Output (label, n_vertices, intra_edges,
+    * deg_sum, q_contrib) with q_contrib rounded to 6 — every input to the
+    * arithmetic is an integer, so the double result is bit-identical across
+    * engines and the rounding is a display contract, not a fudge.
+    *
+    * Scale shape: two broadcast-sized joins of `labels` (vertex-sized — the
+    * same table PageRank ships per iteration) onto the edge table, one
+    * per-community aggregation, and a 1-row m table cross-joined in. No
+    * windows, no per-vertex sorts; everything map-side combinable. */
+  def communityModularity(canonical: DataFrame, labels: DataFrame): DataFrame = {
+    val m = canonical.agg(count(lit(1)).cast("double").as("m"))
+    val byLabel = GraphCore.degrees(canonical)
+      .join(labels, "v")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vertices"), sum(col("deg")).as("deg_sum"))
+    val intra = canonical
+      .join(labels.select(col("v").as("src"), col("label").as("ls")), "src")
+      .join(labels.select(col("v").as("dst"), col("label").as("ld")), "dst")
+      .where(col("ls") === col("ld"))
+      .groupBy(col("ls").as("label"))
+      .agg(count(lit(1)).as("intra_edges"))
+    byLabel
+      .join(intra, Seq("label"), "left")
+      .crossJoin(m)
+      .select(col("label"), col("n_vertices"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"), col("deg_sum"),
+        round(coalesce(col("intra_edges"), lit(0L)) / col("m")
+          - pow(col("deg_sum") / (lit(2.0) * col("m")), 2), 6).as("q_contrib"))
+  }
+
   /** One synchronous step: (v, label) → (v, label). Every vertex of `sym` has ≥1
     * neighbor, so the output covers the same vertex set. */
   private[graft] def step(sym: DataFrame, labels: DataFrame): DataFrame = {

@@ -216,9 +216,12 @@ object OracleSql {
 
   /** Synchronous label propagation at exactly `iters` steps, unrolled. Tie-break:
     * highest neighbor-label count, then smallest label. */
-  def lpaFixed(iters: Int): String = {
+  /** The unrolled LPA label chain `l0..l{iters}` on top of [[graphCtes]] —
+    * shared by [[lpaFixed]] and [[communityModularity]] so the two queries
+    * cannot drift on label semantics. */
+  private def lpaChain(iters: Int): String = {
     val sb = new StringBuilder
-    sb.append("WITH ").append(graphCtes).append(",\n")
+    sb.append(graphCtes).append(",\n")
     sb.append("l0 AS (SELECT v, v AS label FROM verts)")
     for (i <- 1 to iters) {
       sb.append(s""",
@@ -232,9 +235,32 @@ object OracleSql {
         |    FROM c$i) t
         |  WHERE rn = 1)""".stripMargin)
     }
-    sb.append(s"\nSELECT v, label FROM l$iters")
     sb.toString
   }
+
+  def lpaFixed(iters: Int): String =
+    s"WITH ${lpaChain(iters)}\nSELECT v, label FROM l$iters"
+
+  /** Twin of [[graft.LabelProp.communityModularity]] over the `iters`-step LPA
+    * partition: per-community Newman modularity contributions. All-integer
+    * arithmetic into IEEE doubles — bit-identical across engines, rounding is
+    * the display contract. */
+  def communityModularity(iters: Int): String =
+    s"""WITH ${lpaChain(iters)},
+       |lbl AS (SELECT v, label FROM l$iters),
+       |m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM e),
+       |bl AS (
+       |  SELECT lbl.label, count(*) AS n_vertices, CAST(sum(deg.deg) AS BIGINT) AS deg_sum
+       |  FROM deg JOIN lbl ON lbl.v = deg.v GROUP BY lbl.label),
+       |intra AS (
+       |  SELECT ls.label, count(*) AS intra_edges
+       |  FROM e JOIN lbl ls ON ls.v = e.src JOIN lbl ld ON ld.v = e.dst
+       |  WHERE ls.label = ld.label GROUP BY ls.label)
+       |SELECT bl.label, bl.n_vertices,
+       |       coalesce(intra.intra_edges, 0) AS intra_edges, bl.deg_sum,
+       |       round(coalesce(intra.intra_edges, 0) / m.m
+       |             - pow(bl.deg_sum / (2 * m.m), 2), 6) AS q_contrib
+       |FROM bl CROSS JOIN m LEFT JOIN intra ON intra.label = bl.label""".stripMargin
 
   /** Twin of [[graft.LabelProp.runWeighted]]: neighbor votes weighted by the
     * co-occurrence multiplicity, same (weight desc, label asc) tie-break. */
@@ -866,18 +892,23 @@ object OracleSql {
        |  FROM s)
        |SELECT q_id, nbr_id, score, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= $k""".stripMargin
 
-  /** Twin of [[graft.Ingest.edgesFromEventsDaily]] +
-    * [[graft.TriangleCount.globalPerKey]]: per-day co-occurrence edges (lag
-    * streams reset at day boundaries), per-day 3-way join, zero rows kept. */
-  val trianglesDaily: String =
-    """WITH lagd AS (
+  /** Day-keyed edge CTE — twin of [[graft.Ingest.edgesFromEventsDaily]] (lag
+    * streams reset at day boundaries). Shared by [[trianglesDaily]] and
+    * [[edgeDriftDaily]] so the two cannot drift on edge semantics. */
+  val dailyEdgesCte: String =
+    """lagd AS (
       |  SELECT CAST(ts AS DATE) AS day, user_id AS cur,
       |         lag(user_id) OVER (PARTITION BY event_type, CAST(ts AS DATE)
       |                            ORDER BY ts, event_id) AS prev
       |  FROM events),
       |de AS (
       |  SELECT DISTINCT day, least(cur, prev) AS src, greatest(cur, prev) AS dst
-      |  FROM lagd WHERE prev IS NOT NULL AND prev <> cur),
+      |  FROM lagd WHERE prev IS NOT NULL AND prev <> cur)""".stripMargin
+
+  /** Twin of [[graft.TriangleCount.globalPerKey]] over the daily edges:
+    * per-day 3-way join, zero rows kept. */
+  val trianglesDaily: String =
+    s"""WITH $dailyEdgesCte,
       |cnt AS (
       |  SELECT e1.day, count(*) AS t
       |  FROM de e1
@@ -887,6 +918,90 @@ object OracleSql {
       |SELECT d.day, coalesce(cnt.t, 0) AS triangles
       |FROM (SELECT DISTINCT day FROM de) d
       |LEFT JOIN cnt ON cnt.day = d.day""".stripMargin
+
+  /** Twin of [[graft.Temporal.edgeDriftDaily]]: day-over-day edge-set Jaccard. */
+  val edgeDriftDaily: String =
+    s"""WITH $dailyEdgesCte,
+      |sz AS (SELECT day, count(*) AS n FROM de GROUP BY day),
+      |iv AS (
+      |  SELECT a.day, count(*) AS common
+      |  FROM de a JOIN de b ON b.day = a.day + 1 AND b.src = a.src AND b.dst = a.dst
+      |  GROUP BY a.day)
+      |SELECT a.day, b.day AS next_day, a.n AS edges, b.n AS next_edges,
+      |       coalesce(iv.common, 0) AS common,
+      |       round(coalesce(iv.common, 0) /
+      |             CAST(a.n + b.n - coalesce(iv.common, 0) AS DOUBLE), 6) AS jaccard
+      |FROM sz a
+      |JOIN sz b ON b.day = a.day + 1
+      |LEFT JOIN iv ON iv.day = a.day""".stripMargin
+
+  /** Twin of [[graft.docs.Curation.datasetSplit]]: the same affine re-mix
+    * bucket (pmod sign-mirrored), thresholded into train/val/test. */
+  def datasetSplit(trainPct: Int, valPct: Int): String =
+    s"""WITH l AS ($langId)
+       |SELECT doc_id, lang_pred,
+       |       CASE WHEN b < $trainPct THEN 'train'
+       |            WHEN b < ${trainPct + valPct} THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM (SELECT doc_id, lang_pred,
+       |        ((((doc_id % 1000000007) + 1000000007) % 1000000007) * 2246822519)
+       |          % 1000000007 % 100 AS b
+       |      FROM l) t""".stripMargin
+
+  /** Twin of [[graft.docs.TextOps.topTokens]]: per-language top-k vocabulary
+    * with the same (count desc, token asc) tie-break. */
+  def topTokens(k: Int): String =
+    s"""WITH l AS ($langId),
+       |tok AS (
+       |  SELECT l.lang_pred, unnest(list_filter(string_split(d."text", ' '), x -> x <> '')) AS token
+       |  FROM documents d JOIN l ON l.doc_id = d.doc_id),
+       |cnt AS (SELECT lang_pred, token, count(*) AS n FROM tok GROUP BY lang_pred, token)
+       |SELECT lang_pred, token, n, rnk FROM (
+       |  SELECT lang_pred, token, n,
+       |    CAST(row_number() OVER (PARTITION BY lang_pred ORDER BY n DESC, token ASC) AS BIGINT) AS rnk
+       |  FROM cnt) t WHERE rnk <= $k""".stripMargin
+
+  /** Twin of [[graft.docs.Clustering.kmeansAssign]]: the identical deterministic
+    * Lloyd rounds, unrolled. Distances through `list_dot_product` (same
+    * left-to-right fold as the codegen DotProduct), centroid means rounded to 7
+    * exactly like the engine — the cross-engine determinism contract. */
+  def kmeansAssign(k: Int, iters: Int, dim: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH x AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster, x AS c
+         |  FROM (SELECT vec_id, x FROM x ORDER BY vec_id LIMIT $k))""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(s""",
+        |a$i AS (
+        |  SELECT vec_id, x, cluster,
+        |    round(list_dot_product(x, x) + list_dot_product(c, c)
+        |          - 2 * list_dot_product(x, c), 6) AS d
+        |  FROM x CROSS JOIN c${i - 1}),
+        |g$i AS (
+        |  SELECT vec_id, x, cluster FROM (
+        |    SELECT vec_id, x, cluster,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster ASC) AS rn
+        |    FROM a$i) t WHERE rn = 1),
+        |m$i AS (
+        |  SELECT cluster, t.p AS pos, round(avg(x[t.p + 1]), 7) AS m
+        |  FROM g$i, unnest(range(0, $dim)) AS t(p)
+        |  GROUP BY cluster, t.p),
+        |c$i AS (SELECT cluster, list(m ORDER BY pos) AS c FROM m$i GROUP BY cluster)""".stripMargin)
+    }
+    sb.append(s""",
+      |af AS (
+      |  SELECT vec_id, cluster,
+      |    round(list_dot_product(x, x) + list_dot_product(c, c)
+      |          - 2 * list_dot_product(x, c), 6) AS d
+      |  FROM x CROSS JOIN c$iters)
+      |SELECT vec_id, cluster, d FROM (
+      |  SELECT vec_id, cluster, d,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster ASC) AS rn
+      |  FROM af) t WHERE rn = 1""".stripMargin)
+    sb.toString
+  }
 
   /** Twin of [[graft.TriangleCount.globalSampled]]: the same deterministic
     * data-keyed coin (pmod spelled out — sign-mirrored like the

@@ -177,6 +177,9 @@ object SparkEntry {
     // subgraphs join only against themselves — parallel across days
     "triangles_daily" -> ((s, d) =>
       TriangleCount.globalPerKey(Ingest.edgesFromEventsDaily(s, d))),
+    // day-over-day edge-set Jaccard (structural drift monitoring)
+    "graph_drift_daily" -> ((s, d) =>
+      Temporal.edgeDriftDaily(Ingest.edgesFromEventsDaily(s, d))),
     // DOULION-style sampled triangle estimate (rate 50% — deterministic
     // data-keyed coin, so the estimate itself is oracle-exact)
     "triangles_sampled" -> ((s, d) =>
@@ -218,6 +221,12 @@ object SparkEntry {
       PageRank.fixedIterations(canonical(s, d), 10)
         .select(col("v"), round(col("pr"), 6).as("pr"))),
     "lpa_2step" -> ((s, d) => LabelProp.run(canonical(s, d), 2)),
+    // per-community Newman modularity contributions of the 2-step LPA partition
+    // (sum(q_contrib) = the partition's Q score)
+    "community_modularity" -> ((s, d) => {
+      val e = canonical(s, d)
+      LabelProp.communityModularity(e, LabelProp.run(e, 2))
+    }),
     // weighted PageRank over co-occurrence MULTIPLICITY edges (repeat
     // co-occurrence is signal the distinct-deduped canonical table discards)
     "pagerank_weighted_10iter" -> ((s, d) =>
@@ -282,6 +291,12 @@ object SparkEntry {
     "stratified_sample" -> ((s, d) =>
       docs.Curation.stratifiedSample(Ingest.table(s, d, "documents"),
         rates = Seq("en" -> 30, "de" -> 60), defaultRate = 100)),
+    // deterministic train/val/test assignment (auditable, retry-stable)
+    "dataset_split" -> ((s, d) =>
+      docs.Curation.datasetSplit(Ingest.table(s, d, "documents"), trainPct = 80, valPct = 10)),
+    // per-language top-k vocabulary (tokenizer-training / drift statistic)
+    "top_tokens" -> ((s, d) =>
+      docs.TextOps.topTokens(Ingest.table(s, d, "documents"), k = 10)),
     // benchmark-contamination scan: per-doc shingle overlap against a (tiny,
     // broadcast) eval subset — doc_id ≡ 0 (mod 11) plays the eval set here
     "contamination_scan" -> ((s, d) =>
@@ -344,6 +359,10 @@ object SparkEntry {
     "embed_ivf_topk" -> ((s, d) =>
       docs.Similarity.ivfCosineTopK(Ingest.table(s, d, "embeddings"), k = 5,
         queryMod = 25, centMod = 50, nProbe = 2)),
+    // full Lloyd k-means (deterministic seed/argmin/recenter): the curation
+    // primitive behind diversity sampling and IVF coarse quantizers
+    "embed_kmeans" -> ((s, d) =>
+      docs.Clustering.kmeansAssign(Ingest.table(s, d, "embeddings"), k = 8, iters = 2)),
     // end-to-end cleaning pipeline (the composability story): exact-dedup keep
     // canonicals → quality floor → per-language corpus stats. Float-safe output:
     // the quality sum is rounded at 1e-4 (well above any summation-order ulps)
@@ -436,6 +455,7 @@ object SparkEntry {
     "lpa_weighted_2step" -> OracleSql.lpaWeightedFixed(2),
     "bfs_distances" -> OracleSql.bfsDistances(4, 31),
     "lpa_2step" -> OracleSql.lpaFixed(2),
+    "community_modularity" -> OracleSql.communityModularity(2),
     "q1_agg" -> OracleSql.q1Agg,
     "token_count" -> OracleSql.tokenCount,
     "token_count_bpe" -> OracleSql.tokenCountBpe,
@@ -461,6 +481,7 @@ object SparkEntry {
     "embed_lsh_topk" -> OracleSql.embedLshTopK(64, 5, 25, 8),
     "embed_neardup_pairs_lsh" -> OracleSql.embedLshNearDupPairs(64, 0.4, 5, 40),
     "embed_ivf_topk" -> OracleSql.embedIvfTopK(64, 5, 25, 50, 2),
+    "embed_kmeans" -> OracleSql.kmeansAssign(8, 2, 64),
     "transitivity" -> OracleSql.transitivity,
     "corpus_clean_stats" -> OracleSql.corpusCleanStats,
     "sessionize" -> OracleSql.sessionize(1800),
@@ -474,6 +495,9 @@ object SparkEntry {
     "token_pack_shards" -> OracleSql.tokenPackShards(5000L),
     "token_pack_shards_scalable" -> OracleSql.tokenPackShards(5000L),
     "triangles_daily" -> OracleSql.trianglesDaily,
+    "graph_drift_daily" -> OracleSql.edgeDriftDaily,
+    "dataset_split" -> OracleSql.datasetSplit(80, 10),
+    "top_tokens" -> OracleSql.topTokens(10),
     "triangles_sampled" -> OracleSql.trianglesSampled(50),
     "kcore_vertices" -> OracleSql.kcorePeel(72, 2),
     "link_prediction" -> OracleSql.linkPrediction,

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Temporal link-graph analytics over the day-keyed edge table
+  * ([[Ingest.edgesFromEventsDaily]]): per-day subgraphs are independent by
+  * construction, so these operators co-partition on the day key and distinct
+  * days proceed in parallel — the 100 TB shape where the calendar day IS the
+  * partition and a date predicate prunes the scan.
+  * (Per-day triangle counts live in [[TriangleCount.globalPerKey]].)
+  */
+object Temporal {
+
+  /** Day-over-day structural drift: Jaccard similarity of consecutive days'
+    * edge sets — |E_d ∩ E_{d+1}| / |E_d ∪ E_{d+1}|. The monitoring metric for
+    * "did the interaction graph change shape overnight" (deploy regressions,
+    * seasonality, incident detection). One row per consecutive-day pair that
+    * both exist. Output (day, next_day, edges, next_edges, common, jaccard)
+    * with jaccard rounded to 6 — all-integer arithmetic into one IEEE double
+    * division, bit-identical across engines.
+    *
+    * Scale shape: the intersection is an equi-join on
+    * (date_add(day,1), src, dst) — shuffle co-partitioned on the full key, no
+    * cross-day fan-out; the per-day sizes are one map-side-combinable count;
+    * the final stitch joins two day-sized summary tables (broadcast-small). */
+  def edgeDriftDaily(daily: DataFrame): DataFrame = {
+    val sizes = daily.groupBy(col("day")).agg(count(lit(1)).as("n"))
+    val nxt = daily.select(col("day").as("nday"), col("src"), col("dst"))
+    val common = daily
+      .join(nxt, date_add(col("day"), 1) === col("nday")
+        && daily("src") === nxt("src") && daily("dst") === nxt("dst"))
+      .groupBy(daily("day"))
+      .agg(count(lit(1)).as("common"))
+    sizes
+      .join(sizes.select(col("day").as("next_day"), col("n").as("next_edges")),
+        date_add(col("day"), 1) === col("next_day"))
+      .join(common, Seq("day"), "left")
+      .select(col("day"), col("next_day"), col("n").as("edges"), col("next_edges"),
+        coalesce(col("common"), lit(0L)).as("common"),
+        round(coalesce(col("common"), lit(0L)) /
+          (col("n") + col("next_edges") - coalesce(col("common"), lit(0L))), 6).as("jaccard"))
+  }
+}

@@ -104,4 +104,25 @@ object Curation {
       .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
         floor((col("base") + col("loc")) / budget).as("shard"))
   }
+
+  /** Deterministic train/val/test assignment: bucket = affine re-mix of doc_id
+    * mod 100 (same portable-hash family as [[stratifiedSample]] but a DIFFERENT
+    * multiplier, so sampling and splitting stay uncorrelated); bucket < trainPct
+    * → train, < trainPct+valPct → val, else test. A pure function of the data —
+    * identical across retries, engines, and cluster sizes, which is what makes
+    * the split auditable and rerunnable. Output (doc_id, lang_pred, split), one
+    * row per doc. Compose AFTER dedup ([[Dedup.clusterCanonicalLsh]]) — hash
+    * splitting alone does not stop near-duplicate leakage across splits.
+    *
+    * Scale shape: per-row arithmetic only, no shuffle. */
+  def datasetSplit(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      "percentages must satisfy 0 < trainPct, 0 <= valPct, trainPct+valPct <= 100")
+    val p = 1000000007L
+    val bucket = pmod(pmod(col("doc_id"), lit(p)) * lit(2246822519L), lit(p)) % lit(100L)
+    TextOps.langId(docs).select(col("doc_id"), col("lang_pred"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
 }

@@ -146,6 +146,30 @@ object TextOps {
     * phones before IPs so a dotted phone number is not half-eaten by the IP
     * pattern. Pure per-row regex work, no shuffle.
     * Output (doc_id, n_emails, n_phones, n_ips, redacted). */
+  /** Per-language top-k vocabulary: whitespace tokens counted per
+    * (lang_pred, token), top `k` by (count desc, token asc). The corpus
+    * statistic behind tokenizer training and domain drift monitoring.
+    * Output (lang_pred, token, n, rnk).
+    *
+    * Scale shape: the explode + count is one map-side-combinable aggregation
+    * over (lang, token); the top-k window then runs over the vocabulary-sized
+    * count table (tokens are Zipf — the count table is orders of magnitude
+    * smaller than the corpus), partitioned by language. At an extreme
+    * vocabulary a pre-filter on a per-partition candidate top-k would bound
+    * the window input further; not needed at any realistic vocab size. */
+  def topTokens(docs: DataFrame, k: Int = 10): DataFrame = {
+    val (lang, _) = langPredCols(col("text"))
+    val counts = docs
+      .select(lang.as("lang_pred"), explode(filter(split(col("text"), " "), _ =!= "")).as("token"))
+      .groupBy(col("lang_pred"), col("token"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang_pred")).orderBy(col("n").desc, col("token").asc)
+    counts
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
   def piiScrub(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),

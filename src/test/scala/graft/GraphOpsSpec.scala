@@ -271,4 +271,55 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(throughHours === throughUsers)
     assert(throughHours > 0L, "fixture must be non-degenerate")
   }
+
+  test("modularity: barbell graph, hand-computed per-community contributions") {
+    // two triangles {0,1,2} and {3,4,5} bridged by (2,3): m=7,
+    // d_A = 2+2+3 = 7, intra_A = 3 → q_A = 3/7 - (7/14)^2 = 0.178571; same for B
+    val barbell = canonical(Seq(
+      (0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L), (3L, 5L), (2L, 3L)))
+    val labels = Seq(0L -> 10L, 1L -> 10L, 2L -> 10L, 3L -> 20L, 4L -> 20L, 5L -> 20L)
+      .toDF("v", "label")
+    val got = LabelProp.communityModularity(barbell, labels)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got === Map(
+      10L -> ((3L, 3L, 7L, 0.178571)),
+      20L -> ((3L, 3L, 7L, 0.178571))))
+    // Q = sum of contributions; the all-in-one-community partition scores 0
+    val one = Seq(0L, 1L, 2L, 3L, 4L, 5L).map(_ -> 1L).toDF("v", "label")
+    val q1 = LabelProp.communityModularity(barbell, one).collect()
+    assert(q1.length === 1 && math.abs(q1.head.getDouble(4)) < 1e-9)
+  }
+
+  test("edgeDriftDaily: hand-computed Jaccard over three days, gap days break pairs") {
+    val d = java.sql.Date.valueOf(_: String)
+    val daily = Seq(
+      ("2024-01-01", 1L, 2L), ("2024-01-01", 2L, 3L),
+      ("2024-01-02", 1L, 2L), ("2024-01-02", 4L, 5L), ("2024-01-02", 5L, 6L),
+      // day 3 missing entirely; day 4 present → no (d2,d3) or (d3,d4) rows
+      ("2024-01-04", 1L, 2L))
+      .map { case (day, s, t) => (d(day), s, t) }.toDF("day", "src", "dst")
+    val got = Temporal.edgeDriftDaily(daily)
+      .collect().map(r => (r.getDate(0).toString, r.getDate(1).toString,
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    // |E1 ∩ E2| = 1 (edge 1-2), union = 4 → 0.25
+    assert(got === Set(("2024-01-01", "2024-01-02", 2L, 3L, 1L, 0.25)))
+  }
+
+  test("kmeans: two well-separated blobs recover the planted grouping, deterministic") {
+    val blobA = (0L to 9L).map(i => (i, Array.fill(4)(0.0).updated((i % 4).toInt, 1.0)))
+    val blobB = (10L to 19L).map(i => (i, Array.fill(4)(10.0).updated((i % 4).toInt, 11.0)))
+    val emb = (blobA ++ blobB).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val got = docs.Clustering.kmeansAssign(emb, k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // both seeds start inside blob A; the invariant that matters after Lloyd
+    // rounds is that the far blob ends internally pure
+    val bClusters = blobB.map(p => got(p._1)).toSet
+    assert(bClusters.size === 1, s"far blob must be one cluster, got $bClusters")
+    assert(got.values.toSet.subsetOf(Set(0L, 1L)))
+    val again = docs.Clustering.kmeansAssign(emb, k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === got)
+  }
 }
