@@ -935,6 +935,36 @@ object OracleSql {
       |JOIN sz b ON b.day = a.day + 1
       |LEFT JOIN iv ON iv.day = a.day""".stripMargin
 
+  /** Twin of [[graft.PageRank.fixedIterationsKeyed]] over the daily edges:
+    * PageRank unrolled with the day key in every join and group key. */
+  def pagerankDaily(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH $dailyEdgesCte,\n")
+    sb.append(
+      """sym AS (SELECT day, src AS u, dst AS w FROM de
+        |         UNION ALL SELECT day, dst AS u, src AS w FROM de),
+        |verts AS (SELECT DISTINCT day, u AS v FROM sym),
+        |dg AS (SELECT day, u, count(*) AS deg FROM sym GROUP BY day, u),
+        |n AS (SELECT day, count(*) AS n FROM verts GROUP BY day),
+        |r0 AS (SELECT verts.day, verts.v, 1.0 / n.n AS pr
+        |       FROM verts JOIN n ON n.day = verts.day)""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(s""",
+        |s$i AS (
+        |  SELECT sym.day, sym.w AS v, sum(r.pr / dg.deg) AS s
+        |  FROM sym
+        |  JOIN r${i - 1} r ON r.day = sym.day AND r.v = sym.u
+        |  JOIN dg ON dg.day = sym.day AND dg.u = sym.u
+        |  GROUP BY sym.day, sym.w),
+        |r$i AS (
+        |  SELECT verts.day, verts.v, 0.15 / n.n + 0.85 * coalesce(s.s, 0) AS pr
+        |  FROM verts JOIN n ON n.day = verts.day
+        |  LEFT JOIN s$i s ON s.day = verts.day AND s.v = verts.v)""".stripMargin)
+    }
+    sb.append(s"\nSELECT day, v, round(pr, 6) AS pr FROM r$iters")
+    sb.toString
+  }
+
   /** Twin of [[graft.docs.Curation.datasetSplit]]: the same affine re-mix
     * bucket (pmod sign-mirrored), thresholded into train/val/test. */
   def datasetSplit(trainPct: Int, valPct: Int): String =

@@ -70,6 +70,48 @@ object PageRank {
     ranks
   }
 
+  /** Per-key (e.g. per-day) PageRank at exactly `iters` iterations over a
+    * keyed canonical edge table (key, src, dst): each key's subgraph ranks
+    * independently — the temporal-centrality kernel (who mattered on which
+    * day). The key rides in every join and group key, so the shuffle
+    * co-partitions on (key, vertex) and distinct keys proceed in parallel
+    * with zero cross-talk, exactly like [[TriangleCount.globalPerKey]].
+    *
+    * Scale discipline matches [[iterate]]: links joined with per-key degrees
+    * ONCE and partitioned by (key, src); per iteration only the rank table
+    * moves. The per-key vertex count rides WITH the rank rows (constant per
+    * key, re-emitted by `max` in the aggregate) — no per-iteration join
+    * against a counts table. Output (key, v, pr). */
+  def fixedIterationsKeyed(
+      keyed: DataFrame,
+      iters: Int,
+      damping: Double = 0.85,
+      key: String = "day"): DataFrame = {
+    val k = col(key)
+    val sym = keyed.select(k, col("src"), col("dst"))
+      .unionAll(keyed.select(k, col("dst").as("src"), col("src").as("dst")))
+    val deg = sym.groupBy(k, col("src")).agg(count(lit(1)).as("deg"))
+    val links = sym.join(deg, Seq(key, "src"))
+      .repartition(k, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = sym.select(k, col("src").as("v")).distinct()
+    val n = verts.groupBy(k).agg(count(lit(1)).as("n"))
+    var ranks = verts.join(n, key)
+      .select(k, col("v"), (lit(1.0) / col("n")).as("pr"), col("n"))
+      .localCheckpoint(false)
+    for (_ <- 1 to iters) {
+      ranks = links
+        .join(ranks.withColumnRenamed("v", "src"), Seq(key, "src"))
+        .select(k, col("dst").as("v"), (col("pr") / col("deg")).as("c"), col("n"))
+        .groupBy(k, col("v"))
+        .agg(((lit(1.0 - damping) / max(col("n"))) + lit(damping) * sum(col("c"))).as("pr"),
+          max(col("n")).as("n"))
+        .localCheckpoint(false)
+    }
+    links.unpersist()
+    ranks.select(k, col("v"), col("pr"))
+  }
+
   /** Personalized PageRank at exactly `iters` iterations: random walk with
     * restart into a source SET — teleport mass goes only to vertices matching
     * `isSource` (uniformly), so ranks measure proximity to the sources

@@ -180,6 +180,10 @@ object SparkEntry {
     // day-over-day edge-set Jaccard (structural drift monitoring)
     "graph_drift_daily" -> ((s, d) =>
       Temporal.edgeDriftDaily(Ingest.edgesFromEventsDaily(s, d))),
+    // per-day PageRank (temporal centrality: who mattered on which day)
+    "pagerank_daily" -> ((s, d) =>
+      PageRank.fixedIterationsKeyed(Ingest.edgesFromEventsDaily(s, d), 5)
+        .select(col("day"), col("v"), round(col("pr"), 6).as("pr"))),
     // DOULION-style sampled triangle estimate (rate 50% — deterministic
     // data-keyed coin, so the estimate itself is oracle-exact)
     "triangles_sampled" -> ((s, d) =>
@@ -496,6 +500,7 @@ object SparkEntry {
     "token_pack_shards_scalable" -> OracleSql.tokenPackShards(5000L),
     "triangles_daily" -> OracleSql.trianglesDaily,
     "graph_drift_daily" -> OracleSql.edgeDriftDaily,
+    "pagerank_daily" -> OracleSql.pagerankDaily(5),
     "dataset_split" -> OracleSql.datasetSplit(80, 10),
     "top_tokens" -> OracleSql.topTokens(10),
     "triangles_sampled" -> OracleSql.trianglesSampled(50),

@@ -172,6 +172,32 @@ class PageRankSpec extends AnyFunSuite {
   }
   private def n0(a: Array[List[Int]]) = a.length
 
+  test("keyed pagerank equals the unkeyed kernel run per day (differential)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, least, greatest, lit}
+    val d = java.sql.Date.valueOf(_: String)
+    // day 1: nvgraph8; day 2: tri1 plus a pendant — different shapes per day
+    val daily =
+      (fixtures.nvgraph8.map { case (a, b) => (d("2024-02-01"), a, b) } ++
+        (fixtures.tri1 :+ ((2L, 7L))).map { case (a, b) => (d("2024-02-02"), a, b) })
+        .toDF("day", "src", "dst")
+        .select(col("day"),
+          least(col("src"), col("dst")).as("src"),
+          greatest(col("src"), col("dst")).as("dst")).distinct()
+    val keyed = PageRank.fixedIterationsKeyed(daily, 5)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getDouble(2)).toMap
+    for (day <- Seq("2024-02-01", "2024-02-02")) {
+      val sub = daily.where(col("day") === lit(day)).select("src", "dst")
+      val want = PageRank.fixedIterations(sub, 5)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(want.keySet === keyed.keySet.filter(_._1 == day).map(_._2))
+      want.foreach { case (v, p) =>
+        assert(math.abs(keyed((day, v)) - p) < 1e-12, s"day=$day v=$v")
+      }
+    }
+  }
+
   test("personalized pagerank matches an independent golden and concentrates near sources") {
     val sources = Set(0L) // fixtures.nvgraph8 vertices are 0..5
     val got = PageRank.personalizedFixedIterations(
