@@ -49,6 +49,38 @@ object Components {
       .select(col("v"), coalesce(col("p"), col("v")).as("component"))
   }
 
+  /** Per-key (e.g. per-day) component labels over a keyed canonical edge table
+    * (key, src, dst): the same alternating star rounds with the key prefixed to
+    * every window partition, group key, and distinct — each key's subgraph
+    * converges independently inside the ONE shared loop (rounds needed = max
+    * over keys, still O(log² n)), shuffles co-partition on (key, vertex), and
+    * keys never interact. Output (key, v, component), component = min vertex id
+    * within the key's subgraph. */
+  def runKeyed(keyed: DataFrame, maxRounds: Int = 50, key: String = "day"): DataFrame = {
+    val k = col(key)
+    var edges = keyed
+      .select(k, greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .distinct()
+      .localCheckpoint(false)
+    var prev = checksum(edges, Seq(key))
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      edges = smallStar(largeStar(edges, Seq(key)), Seq(key)).localCheckpoint(false)
+      val cur = checksum(edges, Seq(key))
+      converged = cur == prev
+      prev = cur
+      round += 1
+    }
+    val parents = edges.groupBy(k, col("src").as("v")).agg(min(col("dst")).as("p"))
+    keyed.select(k, col("src").as("v"))
+      .unionAll(keyed.select(k, col("dst").as("v")))
+      .distinct()
+      .join(parents, Seq(key, "v"), "left")
+      .select(k, col("v"), coalesce(col("p"), col("v")).as("component"))
+  }
+
   /** Large-star round: every node connects its strictly-larger neighbors to the
     * minimum of its closed neighborhood. Preserves (src > dst) orientation.
     *
@@ -59,13 +91,15 @@ object Components {
     * large-star output collapses by orders of magnitude (many leaves map to the
     * same (hub, min) edge), so it is also the round's data-reduction step —
     * measured: removing it made rounds strictly slower. */
-  private[graft] def largeStar(edges: DataFrame): DataFrame = {
-    val sym = edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-    val byNode = Window.partitionBy(col("src"))
+  private[graft] def largeStar(edges: DataFrame, keyCols: Seq[String] = Nil): DataFrame = {
+    val kc = keyCols.map(col)
+    val sym = edges.unionAll(
+      edges.select(kc :+ col("dst").as("src") :+ col("src").as("dst"): _*))
+    val byNode = Window.partitionBy(kc :+ col("src"): _*)
     sym
       .withColumn("mn", least(min(col("dst")).over(byNode), col("src")))
       .where(col("dst") > col("src"))
-      .select(col("dst").as("src"), col("mn").as("dst"))
+      .select(kc :+ col("dst").as("src") :+ col("mn").as("dst"): _*)
       .distinct()
   }
 
@@ -92,14 +126,15 @@ object Components {
     * minimum of its smaller neighborhood. Preserves (src > dst) orientation.
     * Single-pass: the window computes the min, one explode emits both the
     * neighbor→min edges and the self→min edge (deduped by the round's distinct). */
-  private[graft] def smallStar(edges: DataFrame): DataFrame = {
-    val byNode = Window.partitionBy(col("src"))
+  private[graft] def smallStar(edges: DataFrame, keyCols: Seq[String] = Nil): DataFrame = {
+    val kc = keyCols.map(col)
+    val byNode = Window.partitionBy(kc :+ col("src"): _*)
     edges
       .withColumn("mn", min(col("dst")).over(byNode))
-      .select(explode(array(
+      .select(kc :+ explode(array(
         struct(col("dst").as("src"), col("mn").as("dst")),
-        struct(col("src").as("src"), col("mn").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        struct(col("src").as("src"), col("mn").as("dst")))).as("e"): _*)
+      .select(kc :+ col("e.src").as("src") :+ col("e.dst").as("dst"): _*)
       .where(col("src") =!= col("dst"))
       .distinct()
   }
@@ -107,10 +142,11 @@ object Components {
   /** Order-insensitive 64-bit fingerprint of an edge set (count, xor of row hashes).
     * Used as the fixpoint test — an exact set compare would be an extra join per
     * round for no practical gain at 64-bit collision odds. */
-  private def checksum(edges: DataFrame): (Long, Long) = {
+  private def checksum(edges: DataFrame, keyCols: Seq[String] = Nil): (Long, Long) = {
     val r = edges.agg(
       count(lit(1)).as("c"),
-      coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L)).as("h")).first()
+      coalesce(bit_xor(xxhash64(keyCols.map(col) :+ col("src") :+ col("dst"): _*)),
+        lit(0L)).as("h")).first()
     (r.getLong(0), r.getLong(1))
   }
 

@@ -105,8 +105,10 @@ object LabelProp {
       .crossJoin(m)
       .select(col("label"), col("n_vertices"),
         coalesce(col("intra_edges"), lit(0L)).as("intra_edges"), col("deg_sum"),
-        round(coalesce(col("intra_edges"), lit(0L)) / col("m")
-          - pow(col("deg_sum") / (lit(2.0) * col("m")), 2), 6).as("q_contrib"))
+        // + 0.0 normalizes IEEE negative zero: a singleton community rounds to
+        // -0.0 in DuckDB but +0.0 here — same value, different hash bits
+        (round(coalesce(col("intra_edges"), lit(0L)) / col("m")
+          - pow(col("deg_sum") / (lit(2.0) * col("m")), 2), 6) + lit(0.0)).as("q_contrib"))
   }
 
   /** One synchronous step: (v, label) → (v, label). Every vertex of `sym` has ≥1

@@ -259,7 +259,7 @@ object OracleSql {
        |SELECT bl.label, bl.n_vertices,
        |       coalesce(intra.intra_edges, 0) AS intra_edges, bl.deg_sum,
        |       round(coalesce(intra.intra_edges, 0) / m.m
-       |             - pow(bl.deg_sum / (2 * m.m), 2), 6) AS q_contrib
+       |             - pow(bl.deg_sum / (2 * m.m), 2), 6) + 0.0 AS q_contrib
        |FROM bl CROSS JOIN m LEFT JOIN intra ON intra.label = bl.label""".stripMargin
 
   /** Twin of [[graft.LabelProp.runWeighted]]: neighbor votes weighted by the
@@ -935,6 +935,20 @@ object OracleSql {
       |JOIN sz b ON b.day = a.day + 1
       |LEFT JOIN iv ON iv.day = a.day""".stripMargin
 
+  /** Twin of [[graft.Components.runKeyed]] over the daily edges: exact min-id
+    * component labels per day via day-keyed transitive closure (the engine
+    * converges all days inside one shared large/small-star loop instead). */
+  val componentsDaily: String =
+    s"""WITH RECURSIVE $dailyEdgesCte,
+       |dud AS (SELECT day, src AS u, dst AS w FROM de
+       |        UNION ALL SELECT day, dst AS u, src AS w FROM de),
+       |dverts AS (SELECT DISTINCT day, u AS v FROM dud),
+       |r(day, v, l) AS (
+       |  SELECT day, v, v FROM dverts
+       |  UNION
+       |  SELECT dud.day, dud.w, r.l FROM r JOIN dud ON dud.day = r.day AND dud.u = r.v)
+       |SELECT day, v, min(l) AS component FROM r GROUP BY day, v""".stripMargin
+
   /** Twin of [[graft.PageRank.fixedIterationsKeyed]] over the daily edges:
     * PageRank unrolled with the day key in every join and group key. */
   def pagerankDaily(iters: Int): String = {
@@ -1007,7 +1021,7 @@ object OracleSql {
         |a$i AS (
         |  SELECT vec_id, x, cluster,
         |    round(list_dot_product(x, x) + list_dot_product(c, c)
-        |          - 2 * list_dot_product(x, c), 6) AS d
+        |          - 2 * list_dot_product(x, c), 6) + 0.0 AS d
         |  FROM x CROSS JOIN c${i - 1}),
         |g$i AS (
         |  SELECT vec_id, x, cluster FROM (
@@ -1024,7 +1038,7 @@ object OracleSql {
       |af AS (
       |  SELECT vec_id, cluster,
       |    round(list_dot_product(x, x) + list_dot_product(c, c)
-      |          - 2 * list_dot_product(x, c), 6) AS d
+      |          - 2 * list_dot_product(x, c), 6) + 0.0 AS d
       |  FROM x CROSS JOIN c$iters)
       |SELECT vec_id, cluster, d FROM (
       |  SELECT vec_id, cluster, d,

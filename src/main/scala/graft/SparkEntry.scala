@@ -184,6 +184,9 @@ object SparkEntry {
     "pagerank_daily" -> ((s, d) =>
       PageRank.fixedIterationsKeyed(Ingest.edgesFromEventsDaily(s, d), 5)
         .select(col("day"), col("v"), round(col("pr"), 6).as("pr"))),
+    // per-day exact component labels (community evolution over days)
+    "components_daily" -> ((s, d) =>
+      Components.runKeyed(Ingest.edgesFromEventsDaily(s, d))),
     // DOULION-style sampled triangle estimate (rate 50% — deterministic
     // data-keyed coin, so the estimate itself is oracle-exact)
     "triangles_sampled" -> ((s, d) =>
@@ -501,6 +504,7 @@ object SparkEntry {
     "triangles_daily" -> OracleSql.trianglesDaily,
     "graph_drift_daily" -> OracleSql.edgeDriftDaily,
     "pagerank_daily" -> OracleSql.pagerankDaily(5),
+    "components_daily" -> OracleSql.componentsDaily,
     "dataset_split" -> OracleSql.datasetSplit(80, 10),
     "top_tokens" -> OracleSql.topTokens(10),
     "triangles_sampled" -> OracleSql.trianglesSampled(50),

@@ -50,8 +50,10 @@ object Clustering {
     def assigned(cent: DataFrame): DataFrame =
       x.crossJoin(broadcast(cent))
         .select(col("vec_id"), col("x"), col("cluster"),
-          round(dot(col("x"), col("x")) + dot(col("c"), col("c"))
-            - lit(2.0) * dot(col("x"), col("c")), 6).as("d"))
+          // + 0.0 normalizes IEEE negative zero (x ≈ c cancels to a tiny
+          // negative that rounds to -0.0 in DuckDB, +0.0 here)
+          (round(dot(col("x"), col("x")) + dot(col("c"), col("c"))
+            - lit(2.0) * dot(col("x"), col("c")), 6) + lit(0.0)).as("d"))
         .groupBy(col("vec_id"))
         .agg(min_by(struct(col("cluster"), col("x"), col("d")),
           struct(col("d"), col("cluster"))).as("s"))

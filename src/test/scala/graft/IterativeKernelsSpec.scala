@@ -31,6 +31,30 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got.size === 200 && got.values.toSet === Set(0L))
   }
 
+  test("keyed components equal the unkeyed kernel run per day (differential)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, least, greatest, lit}
+    val d = java.sql.Date.valueOf(_: String)
+    val rnd = new scala.util.Random(41)
+    // day 1: two disjoint cliques + an isolate edge; day 2: random sparse graph
+    val day1 = Seq((0L, 1L), (1L, 2L), (0L, 2L), (10L, 11L), (11L, 12L), (20L, 21L))
+    val day2 = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2)
+    val daily = (day1.map { case (a, b) => (d("2024-03-01"), a, b) } ++
+      day2.map { case (a, b) => (d("2024-03-02"), a, b) })
+      .toDF("day", "src", "dst")
+      .select(col("day"), least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst")).distinct()
+    val keyed = Components.runKeyed(daily)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    for (day <- Seq("2024-03-01", "2024-03-02")) {
+      val want = Components.run(daily.where(col("day") === lit(day)).select("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(want === keyed.collect { case ((dy, v), c) if dy == day => v -> c })
+    }
+  }
+
   test("largeStarAgg (hub-skew twin) equals the window form on fixtures and random graphs") {
     def oneRound(es: Seq[(Long, Long)]): Unit = {
       import org.apache.spark.sql.functions._
