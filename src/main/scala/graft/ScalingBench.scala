@@ -70,6 +70,15 @@ object ScalingBench {
         PageRank.weightedFixedIterations(
           edges.withColumn("w",
             pmod(col("src"), lit(5L)) + pmod(col("dst"), lit(5L)) + lit(1L)), 5)
+      }),
+      // keyed (per-day analog) kernel: a deterministic edge-hash key splits the
+      // input into 30 independent subgraphs ranked in one keyed loop — the
+      // temporal-suite workload shape (co-partition on (key, vertex), keys
+      // never interact)
+      "pagerank_keyed_5iter" -> (() => {
+        import org.apache.spark.sql.functions._
+        PageRank.fixedIterationsKeyed(
+          edges.withColumn("day", pmod(xxhash64(col("src"), col("dst")), lit(30L))), 5)
       }))
   }
 
