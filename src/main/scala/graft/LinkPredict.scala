@@ -64,4 +64,20 @@ object LinkPredict {
         round(col("cn").cast("double") / (col("deg_u") + col("deg_w") - col("cn")), 6)
           .as("jac"))
   }
+
+  /** Per-vertex top-k structurally-similar vertices: the [[scores]] candidates
+    * symmetrized and ranked per vertex by (jaccard desc, neighbor asc) — the
+    * "users like this user" query. Output (v, nbr, jac, rnk).
+    *
+    * Scale shape: [[scores]]' wedge aggregation plus one row_number window
+    * over the candidate-pair table partitioned by vertex — candidates are
+    * distance-2 pairs (bounded by the wedge count), not the corpus. */
+  def similarTopK(canonical: DataFrame, k: Int = 3, maxMiddleDegree: Long = Long.MaxValue): DataFrame = {
+    val s = scores(canonical, maxMiddleDegree)
+    val sym = s.select(col("u").as("v"), col("w").as("nbr"), col("jac"))
+      .unionAll(s.select(col("w").as("v"), col("u").as("nbr"), col("jac")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("v")).orderBy(col("jac").desc, col("nbr").asc)
+    sym.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= k)
+  }
 }

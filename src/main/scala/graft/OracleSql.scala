@@ -1116,6 +1116,39 @@ object OracleSql {
        |JOIN deg du ON du.v = c.u
        |JOIN deg dw ON dw.v = c.w""".stripMargin
 
+  /** Twin of [[graft.LinkPredict.similarTopK]]: the [[linkPrediction]] pairs
+    * symmetrized, ranked per vertex with the same (jac desc, nbr asc)
+    * tie-break. */
+  def similarTopK(k: Int): String =
+    s"""WITH lp AS ($linkPrediction),
+       |sym AS (SELECT u AS v, w AS nbr, jac FROM lp
+       |        UNION ALL SELECT w AS v, u AS nbr, jac FROM lp)
+       |SELECT v, nbr, jac, rnk FROM (
+       |  SELECT v, nbr, jac,
+       |    CAST(row_number() OVER (PARTITION BY v ORDER BY jac DESC, nbr ASC) AS BIGINT) AS rnk
+       |  FROM sym) t WHERE rnk <= $k""".stripMargin
+
+  /** Twin of [[graft.Temporal.graphSummaryDaily]]. */
+  val graphSummaryDaily: String =
+    s"""WITH $dailyEdgesCte,
+       |dv AS (
+       |  SELECT day, count(*) AS n_vertices FROM (
+       |    SELECT DISTINCT day, src AS v FROM de
+       |    UNION SELECT DISTINCT day, dst AS v FROM de) t GROUP BY day),
+       |dn AS (SELECT day, count(*) AS n_edges FROM de GROUP BY day)
+       |SELECT dv.day, dv.n_vertices, dn.n_edges,
+       |       round(2.0 * dn.n_edges / dv.n_vertices, 6) AS avg_degree,
+       |       round(CASE WHEN dv.n_vertices > 1
+       |             THEN 2.0 * dn.n_edges / (dv.n_vertices * (dv.n_vertices - 1))
+       |             ELSE 0.0 END, 6) AS density
+       |FROM dv JOIN dn ON dn.day = dv.day""".stripMargin
+
+  /** Twin of [[graft.docs.Clustering.kmeansStats]] over [[kmeansAssign]]. */
+  def kmeansStats(k: Int, iters: Int, dim: Int): String =
+    s"""WITH ka AS (${kmeansAssign(k, iters, dim)})
+       |SELECT cluster, count(*) AS n, round(sum(d), 6) AS inertia
+       |FROM ka GROUP BY cluster""".stripMargin
+
   /** Twin of [[graft.GraphCore.assortativity]]: exact integer sufficient
     * statistics, double combination in the same association. */
   val assortativity: String =

@@ -38,6 +38,16 @@ object SparkEntry {
       GraphCore.orient(c, GraphCore.degrees(c)).persist()
     })
 
+  private val dailyCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Day-keyed canonical edges, persisted + memoized like [[canonical]]: four
+    * temporal queries share the derivation (one scan + window + distinct). */
+  private def dailyOf(s: SparkSession, dir: String): DataFrame =
+    dailyCache.computeIfAbsent((s, dir), { case (ss, d) =>
+      Ingest.edgesFromEventsDaily(ss, d).persist()
+    })
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: global triangle count
     * via degree-ordered orientation + 3-way join. */
   def entry(spark: SparkSession): DataFrame =
@@ -72,6 +82,7 @@ object SparkEntry {
       }
     }
     drop(orientedCache)
+    drop(dailyCache)
     drop(edgeCache)
     CacheTracker.release(spark)
   }
@@ -176,17 +187,17 @@ object SparkEntry {
     // per-day triangle counts (temporal clustering evolution): day-keyed
     // subgraphs join only against themselves — parallel across days
     "triangles_daily" -> ((s, d) =>
-      TriangleCount.globalPerKey(Ingest.edgesFromEventsDaily(s, d))),
+      TriangleCount.globalPerKey(dailyOf(s, d))),
     // day-over-day edge-set Jaccard (structural drift monitoring)
     "graph_drift_daily" -> ((s, d) =>
-      Temporal.edgeDriftDaily(Ingest.edgesFromEventsDaily(s, d))),
+      Temporal.edgeDriftDaily(dailyOf(s, d))),
     // per-day PageRank (temporal centrality: who mattered on which day)
     "pagerank_daily" -> ((s, d) =>
-      PageRank.fixedIterationsKeyed(Ingest.edgesFromEventsDaily(s, d), 5)
+      PageRank.fixedIterationsKeyed(dailyOf(s, d), 5)
         .select(col("day"), col("v"), round(col("pr"), 6).as("pr"))),
     // per-day exact component labels (community evolution over days)
     "components_daily" -> ((s, d) =>
-      Components.runKeyed(Ingest.edgesFromEventsDaily(s, d))),
+      Components.runKeyed(dailyOf(s, d))),
     // DOULION-style sampled triangle estimate (rate 50% — deterministic
     // data-keyed coin, so the estimate itself is oracle-exact)
     "triangles_sampled" -> ((s, d) =>
@@ -199,6 +210,10 @@ object SparkEntry {
     // link prediction over open wedges (the non-edges the triangle kernel
     // skips): common-neighbor / Adamic-Adar / Jaccard per distance-2 pair
     "link_prediction" -> ((s, d) => LinkPredict.scores(canonical(s, d))),
+    // per-vertex "users like this user" top-k (symmetrized jaccard ranking)
+    "similar_vertices_topk" -> ((s, d) => LinkPredict.similarTopK(canonical(s, d), k = 3)),
+    // per-day graph summary (the monitoring dashboard row beside drift)
+    "graph_summary_daily" -> ((s, d) => Temporal.graphSummaryDaily(dailyOf(s, d))),
     // bipartite butterfly (2×2 biclique) counting over user × active-hour
     // incidence — the bipartite analog of the triangle kernel
     "butterflies_global" -> ((s, d) =>
@@ -370,6 +385,9 @@ object SparkEntry {
     // primitive behind diversity sampling and IVF coarse quantizers
     "embed_kmeans" -> ((s, d) =>
       docs.Clustering.kmeansAssign(Ingest.table(s, d, "embeddings"), k = 8, iters = 2)),
+    // per-cluster balance/tightness summary of the same Lloyd run
+    "embed_kmeans_stats" -> ((s, d) =>
+      docs.Clustering.kmeansStats(Ingest.table(s, d, "embeddings"), k = 8, iters = 2)),
     // end-to-end cleaning pipeline (the composability story): exact-dedup keep
     // canonicals → quality floor → per-language corpus stats. Float-safe output:
     // the quality sum is rounded at 1e-4 (well above any summation-order ulps)
@@ -505,6 +523,9 @@ object SparkEntry {
     "graph_drift_daily" -> OracleSql.edgeDriftDaily,
     "pagerank_daily" -> OracleSql.pagerankDaily(5),
     "components_daily" -> OracleSql.componentsDaily,
+    "graph_summary_daily" -> OracleSql.graphSummaryDaily,
+    "similar_vertices_topk" -> OracleSql.similarTopK(3),
+    "embed_kmeans_stats" -> OracleSql.kmeansStats(8, 2, 64),
     "dataset_split" -> OracleSql.datasetSplit(80, 10),
     "top_tokens" -> OracleSql.topTokens(10),
     "triangles_sampled" -> OracleSql.trianglesSampled(50),

@@ -24,6 +24,28 @@ object Temporal {
     * (date_add(day,1), src, dst) — shuffle co-partitioned on the full key, no
     * cross-day fan-out; the per-day sizes are one map-side-combinable count;
     * the final stitch joins two day-sized summary tables (broadcast-small). */
+  /** Per-day graph summary: vertex/edge counts, average degree, and density —
+    * the monitoring dashboard row next to [[edgeDriftDaily]]'s similarity
+    * metric. All-integer arithmetic into IEEE doubles (bit-identical across
+    * engines); single-vertex days get density 0 by convention. Output
+    * (day, n_vertices, n_edges, avg_degree, density).
+    *
+    * Scale shape: two map-side-combinable counts per day plus a day-keyed
+    * join of two day-sized summaries. */
+  def graphSummaryDaily(daily: DataFrame): DataFrame = {
+    val verts = daily.select(col("day"), col("src").as("v"))
+      .unionAll(daily.select(col("day"), col("dst").as("v")))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("n_vertices"))
+    val edges = daily.groupBy(col("day")).agg(count(lit(1)).as("n_edges"))
+    verts.join(edges, "day")
+      .select(col("day"), col("n_vertices"), col("n_edges"),
+        round(lit(2.0) * col("n_edges") / col("n_vertices"), 6).as("avg_degree"),
+        round(when(col("n_vertices") > 1,
+          lit(2.0) * col("n_edges") / (col("n_vertices") * (col("n_vertices") - 1)))
+          .otherwise(lit(0.0)), 6).as("density"))
+  }
+
   def edgeDriftDaily(daily: DataFrame): DataFrame = {
     val sizes = daily.groupBy(col("day")).agg(count(lit(1)).as("n"))
     val nxt = daily.select(col("day").as("nday"), col("src"), col("dst"))

@@ -71,4 +71,14 @@ object Clustering {
     }
     assigned(cent).select(col("vec_id"), col("cluster"), col("d"))
   }
+
+  /** Per-cluster quality summary of [[kmeansAssign]]: member count and inertia
+    * (sum of the rounded squared distances, re-rounded at 6 — the jitter from
+    * Spark's partial-aggregate merge order is ~1e-13 against 1e-6 rounding).
+    * The balance/tightness dashboard for the clustering. Output
+    * (cluster, n, inertia). */
+  def kmeansStats(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame =
+    kmeansAssign(embeddings, k, iters)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), round(sum(col("d")), 6).as("inertia"))
 }

@@ -272,6 +272,29 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(throughHours > 0L, "fixture must be non-degenerate")
   }
 
+  test("similarTopK: path graph symmetrizes the single candidate pair both ways") {
+    // path 0-1-2: one distance-2 pair (0,2), jac = 1/(1+1-1) = 1.0
+    val got = LinkPredict.similarTopK(canonical(Seq((0L, 1L), (1L, 2L))), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got === Set((0L, 2L, 1.0, 1L), (2L, 0L, 1.0, 1L)))
+  }
+
+  test("graphSummaryDaily: hand-computed sizes, single-edge day density 1") {
+    val s = spark
+    import s.implicits._
+    val d = java.sql.Date.valueOf(_: String)
+    val daily = Seq(
+      ("2024-01-01", 1L, 2L), ("2024-01-01", 2L, 3L), // path: 3 verts, 2 edges
+      ("2024-01-02", 7L, 8L))                          // K2: density 1
+      .map { case (dy, a, b) => (d(dy), a, b) }.toDF("day", "src", "dst")
+    val got = Temporal.graphSummaryDaily(daily)
+      .collect().map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got === Map(
+      "2024-01-01" -> ((3L, 2L, 1.333333, 0.666667)),
+      "2024-01-02" -> ((2L, 1L, 1.0, 1.0))))
+  }
+
   test("modularity: barbell graph, hand-computed per-community contributions") {
     // two triangles {0,1,2} and {3,4,5} bridged by (2,3): m=7,
     // d_A = 2+2+3 = 7, intra_A = 3 → q_A = 3/7 - (7/14)^2 = 0.178571; same for B
@@ -321,5 +344,10 @@ class GraphOpsSpec extends AnyFunSuite {
     val again = docs.Clustering.kmeansAssign(emb, k = 2, iters = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again === got)
+    // stats partition the corpus and inertia is non-negative
+    val stats = docs.Clustering.kmeansStats(emb, k = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(stats.map(_._2).sum === 20L)
+    stats.foreach(s => assert(s._3 >= 0.0))
   }
 }
