@@ -979,6 +979,19 @@ object OracleSql {
     sb.toString
   }
 
+  /** Twin of [[graft.Temporal.moversDaily]] over [[pagerankDaily]]: day-over-day
+    * top-k rank gainers, same (delta desc, v asc) tie-break. */
+  def pagerankMoversDaily(iters: Int, k: Int): String =
+    s"""WITH pr AS (${pagerankDaily(iters)}),
+       |j AS (
+       |  SELECT a.day, b.day AS next_day, a.v, a.pr, b.pr AS pr_next,
+       |         round(b.pr - a.pr, 6) + 0.0 AS delta
+       |  FROM pr a JOIN pr b ON b.day = a.day + 1 AND b.v = a.v)
+       |SELECT day, next_day, v, pr, pr_next, delta, rnk FROM (
+       |  SELECT j.*, CAST(row_number() OVER (
+       |    PARTITION BY day ORDER BY delta DESC, v ASC) AS BIGINT) AS rnk
+       |  FROM j) t WHERE rnk <= $k""".stripMargin
+
   /** Twin of [[graft.docs.Curation.datasetSplit]]: the same affine re-mix
     * bucket (pmod sign-mirrored), thresholded into train/val/test. */
   def datasetSplit(trainPct: Int, valPct: Int): String =

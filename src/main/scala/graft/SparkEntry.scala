@@ -198,6 +198,11 @@ object SparkEntry {
     // per-day exact component labels (community evolution over days)
     "components_daily" -> ((s, d) =>
       Components.runKeyed(dailyOf(s, d))),
+    // day-over-day top-k PageRank gainers (who surged overnight)
+    "pagerank_movers_daily" -> ((s, d) =>
+      Temporal.moversDaily(
+        PageRank.fixedIterationsKeyed(dailyOf(s, d), 5)
+          .select(col("day"), col("v"), round(col("pr"), 6).as("pr")), k = 3)),
     // DOULION-style sampled triangle estimate (rate 50% — deterministic
     // data-keyed coin, so the estimate itself is oracle-exact)
     "triangles_sampled" -> ((s, d) =>
@@ -522,6 +527,7 @@ object SparkEntry {
     "triangles_daily" -> OracleSql.trianglesDaily,
     "graph_drift_daily" -> OracleSql.edgeDriftDaily,
     "pagerank_daily" -> OracleSql.pagerankDaily(5),
+    "pagerank_movers_daily" -> OracleSql.pagerankMoversDaily(5, 3),
     "components_daily" -> OracleSql.componentsDaily,
     "graph_summary_daily" -> OracleSql.graphSummaryDaily,
     "similar_vertices_topk" -> OracleSql.similarTopK(3),

@@ -46,6 +46,28 @@ object Temporal {
           .otherwise(lit(0.0)), 6).as("density"))
   }
 
+  /** Day-over-day top-k rank movers: join a per-day score table (day, v, pr)
+    * with itself shifted one day, rank the gainers per day pair by
+    * (delta desc, v asc). The "who surged overnight" feed composing
+    * [[PageRank.fixedIterationsKeyed]]. Output (day, next_day, v, pr,
+    * pr_next, delta, rnk).
+    *
+    * Scale shape: one equi-join co-partitioned on (day+1, v), then a window
+    * over the joined day-pair rows (vertex-sized per day, not edge-sized). */
+  def moversDaily(ranks: DataFrame, k: Int = 3): DataFrame = {
+    val r = graft.CacheTracker.persist(ranks)
+    // self-join: renamed columns on the shifted side keep the resolution
+    // unambiguous (Spark's self-join analyzer rejects df-reference equality here)
+    val nxt = r.select(col("day").as("next_day"), col("v").as("v2"), col("pr").as("pr_next"))
+    val j = r
+      .join(nxt, date_add(col("day"), 1) === col("next_day") && col("v") === col("v2"))
+      .select(col("day"), col("next_day"), col("v"), col("pr"), col("pr_next"),
+        (round(col("pr_next") - col("pr"), 6) + lit(0.0)).as("delta"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("day")).orderBy(col("delta").desc, col("v").asc)
+    j.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= k)
+  }
+
   def edgeDriftDaily(daily: DataFrame): DataFrame = {
     val sizes = daily.groupBy(col("day")).agg(count(lit(1)).as("n"))
     val nxt = daily.select(col("day").as("nday"), col("src"), col("dst"))

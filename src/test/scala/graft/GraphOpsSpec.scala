@@ -184,10 +184,41 @@ class GraphOpsSpec extends AnyFunSuite {
     }
     val c = canonical(triPath)
     assertNoCartesian(LinkPredict.scores(c), "link prediction")
+    assertNoCartesian(LinkPredict.similarTopK(c), "similar-vertices top-k")
     assertNoCartesian(Bipartite.butterflyCount(
       membershipDF(Seq((0L, 1L), (1L, 1L)))), "butterfly count")
     assertNoCartesian(Bipartite.butterflyPerVertex(
       membershipDF(Seq((0L, 1L), (1L, 1L)))), "butterfly per-vertex")
+  }
+
+  test("temporal kernels plan day-keyed equi-joins — no cartesian, no cross-day fan-out") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.Cross
+    val s = spark
+    import s.implicits._
+    val d = java.sql.Date.valueOf(_: String)
+    val daily = Seq(
+      (d("2024-01-01"), 1L, 2L), (d("2024-01-01"), 2L, 3L), (d("2024-01-01"), 1L, 3L),
+      (d("2024-01-02"), 1L, 2L)).toDF("day", "src", "dst")
+    def joins(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    for ((name, keyFrag, df) <- Seq(
+        ("triangles_daily", "k", TriangleCount.globalPerKey(daily)),
+        ("graph_drift_daily", "day", Temporal.edgeDriftDaily(daily)),
+        ("graph_summary_daily", "day", Temporal.graphSummaryDaily(daily)))) {
+      val js = joins(df)
+      assert(js.nonEmpty, s"$name lost its joins")
+      js.foreach { j =>
+        assert(j.joinType != Cross && j.condition.nonEmpty, s"$name plans a cartesian join")
+        // every inner join condition references the day key — the co-partition
+        // guarantee that keeps days from interacting
+        if (j.joinType == org.apache.spark.sql.catalyst.plans.Inner) {
+          val refs = j.condition.get.references.map(_.name.toLowerCase).toSet
+          assert(refs.exists(_.startsWith(keyFrag)),
+            s"$name has a key-free inner join: ${j.condition}")
+        }
+      }
+    }
   }
 
   test("bfs: path-graph hop distances from one end, budget-limited frontier") {
@@ -312,6 +343,24 @@ class GraphOpsSpec extends AnyFunSuite {
     val one = Seq(0L, 1L, 2L, 3L, 4L, 5L).map(_ -> 1L).toDF("v", "label")
     val q1 = LabelProp.communityModularity(barbell, one).collect()
     assert(q1.length === 1 && math.abs(q1.head.getDouble(4)) < 1e-9)
+  }
+
+  test("moversDaily: hand-computed deltas, gainers ranked first, day gaps break pairs") {
+    val s = spark
+    import s.implicits._
+    val d = java.sql.Date.valueOf(_: String)
+    val ranks = Seq(
+      ("2024-01-01", 1L, 0.5), ("2024-01-01", 2L, 0.3),
+      ("2024-01-02", 1L, 0.2), ("2024-01-02", 2L, 0.6),
+      ("2024-01-04", 1L, 0.9)) // gap: no (d2,d3)/(d3,d4) pair
+      .map { case (dy, v, p) => (d(dy), v, p) }.toDF("day", "v", "pr")
+    val got = Temporal.moversDaily(ranks, k = 3)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(2), r.getDouble(5), r.getLong(6)))
+      .toSet
+    assert(got === Set(
+      ("2024-01-01", 2L, 0.3, 1L),   // gainer first
+      ("2024-01-01", 1L, -0.3, 2L)))
+    graft.CacheTracker.release(spark)
   }
 
   test("edgeDriftDaily: hand-computed Jaccard over three days, gap days break pairs") {
