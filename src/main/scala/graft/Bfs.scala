@@ -66,4 +66,55 @@ object Bfs {
     sym.unpersist()
     settled
   }
+
+  /** Per-source hop distances: the same frontier-delta rounds keyed by the
+    * source vertex `s`, so each source's BFS runs independently in one shared
+    * loop (the keyed-kernel pattern of `PageRank.fixedIterationsKeyed`).
+    * Output (s, v, dist) for pairs within `rounds` hops. The frontier/settled
+    * tables are (source × reached)-sized — at 100 TB you SAMPLE sources (the
+    * standard estimator for centralities; `isSource` is that sample predicate)
+    * rather than run all-pairs. */
+  def distancesPerSource(
+      canonical: DataFrame,
+      isSource: Column => Column,
+      rounds: Int): DataFrame = {
+    require(rounds >= 0, "rounds must be non-negative")
+    val sym = GraphCore.symmetric(canonical)
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var settled = GraphCore.vertices(canonical)
+      .where(isSource(col("v")))
+      .select(col("v").as("s"), col("v"), lit(0L).as("dist"))
+      .localCheckpoint(false)
+    var frontier = settled
+    for (r <- 1 to rounds) {
+      val next = sym
+        .join(frontier.select(col("s"), col("v").as("src")), "src")
+        .select(col("s"), col("dst").as("v"))
+        .distinct()
+        .join(settled.select("s", "v"), Seq("s", "v"), "left_anti")
+        .select(col("s"), col("v"), lit(r.toLong).as("dist"))
+        .localCheckpoint(false)
+      settled = settled.unionAll(next).localCheckpoint(false)
+      frontier = next
+    }
+    sym.unpersist()
+    settled
+  }
+
+  /** Harmonic centrality of the sampled source set: H(s) = Σ_{v≠s} 1/d(s,v)
+    * over vertices within `rounds` hops (Boldi & Vigna 2014 — the
+    * finite-by-construction closeness variant; unreached pairs contribute 0,
+    * so a fixed hop budget is the standard truncated estimator). Output
+    * (v, harmonic, n_reached), harmonic rounded to 6 (1/d terms are a handful
+    * of exact-ish values; summation-order jitter ~1e-13 against 1e-6). */
+  def harmonicCentrality(
+      canonical: DataFrame,
+      isSource: Column => Column,
+      rounds: Int): DataFrame =
+    distancesPerSource(canonical, isSource, rounds)
+      .where(col("dist") > 0)
+      .groupBy(col("s").as("v"))
+      .agg(round(sum(lit(1.0) / col("dist")), 6).as("harmonic"),
+        count(lit(1)).as("n_reached"))
 }

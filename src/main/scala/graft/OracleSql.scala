@@ -1209,6 +1209,31 @@ object OracleSql {
     sb.toString
   }
 
+  /** Twin of [[graft.Bfs.harmonicCentrality]]: per-source min-plus unrolled
+    * `rounds` times with the source id in every group key, then the truncated
+    * harmonic sum. */
+  def harmonicCentrality(rounds: Int, srcMod: Int): String = {
+    require(rounds >= 0)
+    val sb = new StringBuilder
+    sb.append("WITH ").append(graphCtes).append(",\n")
+    sb.append(s"h0 AS (SELECT v AS s, v, CAST(0 AS BIGINT) AS dist FROM verts " +
+      s"WHERE ((v % $srcMod) + $srcMod) % $srcMod = 0)")
+    for (i <- 1 to rounds) {
+      sb.append(s""",
+        |h$i AS (
+        |  SELECT s, v, min(dist) AS dist FROM (
+        |    SELECT s, v, dist FROM h${i - 1}
+        |    UNION ALL
+        |    SELECT h${i - 1}.s, ud.w AS v, h${i - 1}.dist + 1 AS dist
+        |    FROM ud JOIN h${i - 1} ON h${i - 1}.v = ud.u)
+        |  GROUP BY s, v)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT s AS v, round(sum(1.0 / dist), 6) AS harmonic, count(*) AS n_reached
+      |FROM h$rounds WHERE dist > 0 GROUP BY s""".stripMargin)
+    sb.toString
+  }
+
   /** Shared bipartite incidence CTE: user × UTC-hour activity membership. */
   private val hourlyMembershipCte: String =
     """mem AS (

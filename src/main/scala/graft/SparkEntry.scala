@@ -263,6 +263,10 @@ object SparkEntry {
     // diameter; relaxing a fixpoint is a no-op, so the budget is oracle-safe)
     "bfs_distances" -> ((s, d) =>
       Bfs.distances(canonical(s, d), v => pmod(v, lit(31)) === 0, rounds = 4)),
+    // truncated harmonic centrality of the sampled source set (per-source
+    // frontier-delta BFS keyed by source — the keyed-kernel pattern)
+    "harmonic_centrality" -> ((s, d) =>
+      Bfs.harmonicCentrality(canonical(s, d), v => pmod(v, lit(31)) === 0, rounds = 4)),
     // weighted LPA: label votes carry the co-occurrence multiplicity
     "lpa_weighted_2step" -> ((s, d) =>
       LabelProp.runWeighted(Ingest.weightedEdgesFromEvents(s, d), 2)),
@@ -484,6 +488,7 @@ object SparkEntry {
     "pagerank_personalized_10iter" -> OracleSql.pagerankPersonalizedFixed(10, 7),
     "lpa_weighted_2step" -> OracleSql.lpaWeightedFixed(2),
     "bfs_distances" -> OracleSql.bfsDistances(4, 31),
+    "harmonic_centrality" -> OracleSql.harmonicCentrality(4, 31),
     "lpa_2step" -> OracleSql.lpaFixed(2),
     "community_modularity" -> OracleSql.communityModularity(2),
     "q1_agg" -> OracleSql.q1Agg,

@@ -249,6 +249,28 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got === Map(0L -> 0L, 1L -> 1L))
   }
 
+  test("harmonic centrality: path-graph golden; per-source min equals multi-source BFS") {
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+    // H(0) over 4 rounds = 1 + 1/2 + 1/3 + 1/4 = 2.083333
+    val h = Bfs.harmonicCentrality(canonical(path), _ === 0L, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(h.toSeq === Seq((0L, 2.083333, 4L)))
+    // differential: min over sources of the per-source table == the collapsed
+    // multi-source distances
+    val srcs = (v: org.apache.spark.sql.Column) => v === 0L || v === 4L
+    val per = Bfs.distancesPerSource(canonical(path), srcs, rounds = 4)
+    import org.apache.spark.sql.functions.min
+    val collapsed = per.groupBy("v").agg(min("dist").as("dist"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Bfs.distances(canonical(path), srcs, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(collapsed === want)
+    // symmetric pair: both endpoints of an edge see each other at distance 1
+    val k3 = Bfs.harmonicCentrality(canonical(TestSpark.fixtures.tri1), _ >= 0L, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(k3.values.forall(_ == 2.0)) // K3: each source reaches 2 others at d=1
+  }
+
   test("assortativity: hub-and-spoke is exactly -1, triangle-plus-tail hand-checked, regular graph NULL") {
     def a(edges: Seq[(Long, Long)]): Option[Double] = {
       val r = GraphCore.assortativity(canonical(edges)).collect().head
