@@ -49,6 +49,19 @@ object Ingest {
     GraphCore.clean(pairs)
   }
 
+  /** Per-conversation summary over the transcripts shape (input_hint schema):
+    * turn count, distinct roles/tools, wall-clock span, text volume — the
+    * profiling query a transcript corpus gets before any graph derivation.
+    * One map-side-combinable aggregation; `countDistinct` skips null tools.
+    * Output (conv_id, n_turns, n_roles, n_tools, span_s, n_chars). */
+  def conversationStats(transcripts: DataFrame): DataFrame =
+    transcripts.groupBy(col("conv_id")).agg(
+      count(lit(1)).as("n_turns"),
+      countDistinct(col("role")).as("n_roles"),
+      countDistinct(col("tool")).as("n_tools"),
+      (max(col("ts").cast("long")) - min(col("ts").cast("long"))).as("span_s"),
+      sum(length(col("text"))).as("n_chars"))
+
   /** Per-day twin of [[edgesFromEvents]]: the lag co-occurrence runs inside
     * each (event_type, day) — streams reset at day boundaries, giving one
     * independent edge set per calendar day, (day, src, dst). The temporal-

@@ -518,6 +518,26 @@ object OracleSql {
       |SELECT DISTINCT a.pid AS src, b.pid AS dst
       |FROM ids a JOIN ids b ON a.conv_id = b.conv_id AND a.pid < b.pid""".stripMargin
 
+  /** Twin of [[graft.Ingest.conversationStats]] over
+    * [[graft.Transcripts.fromDocuments]] (same derivation CTE family as
+    * [[transcriptEdges]]; ts = 1704067200 + doc_id seconds, integral). */
+  val conversationStats: String =
+    """WITH t AS (
+      |  SELECT 'conv-' || CAST(doc_id % 40 AS VARCHAR) AS conv_id,
+      |         'role-' || CAST(CAST(floor(doc_id / 40) AS BIGINT) % 5 AS VARCHAR) AS role,
+      |         CASE WHEN doc_id % 3 = 0 THEN
+      |           'tool-' || CAST(((doc_id % 1000003) * 2654435761) % 1000000007 % 13 AS VARCHAR)
+      |         END AS tool,
+      |         "text",
+      |         1704067200 + doc_id AS ts_s
+      |  FROM documents)
+      |SELECT conv_id, count(*) AS n_turns,
+      |       count(DISTINCT role) AS n_roles,
+      |       count(DISTINCT tool) AS n_tools,
+      |       max(ts_s) - min(ts_s) AS span_s,
+      |       CAST(sum(length("text")) AS BIGINT) AS n_chars
+      |FROM t GROUP BY conv_id""".stripMargin
+
   /** Twin of the near-dup clustering query: transitive closure over the
     * [[ngramJaccardPairs]] edge set (embedded as a subquery — one source of
     * truth), min doc_id per cluster, singletons map to themselves. */

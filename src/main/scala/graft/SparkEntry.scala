@@ -435,6 +435,10 @@ object SparkEntry {
       Ingest.edgesFromTranscripts(
         Transcripts.fromDocuments(Ingest.table(s, d, "documents")),
         Ingest.participantIdPortable)),
+    // per-conversation profiling of the transcripts shape (turns, roles,
+    // tools, span, text volume)
+    "conversation_stats" -> ((s, d) =>
+      Ingest.conversationStats(Transcripts.fromDocuments(Ingest.table(s, d, "documents")))),
     "pagerank_converged" -> ((s, d) =>
       PageRank.run(canonical(s, d), maxIter = 100, tol = 1e-6)
         .select(col("v"), round(col("pr"), 6).as("pr")))
@@ -512,6 +516,7 @@ object SparkEntry {
     "simhash64" -> OracleSql.simhash64,
     "simhash_neardup_pairs" -> OracleSql.simhashNearDupPairs(8),
     "transcript_edges" -> OracleSql.transcriptEdges,
+    "conversation_stats" -> OracleSql.conversationStats,
     "csr_blocks" -> OracleSql.csrBlocks(8),
     "embed_lsh_topk" -> OracleSql.embedLshTopK(64, 5, 25, 8),
     "embed_neardup_pairs_lsh" -> OracleSql.embedLshNearDupPairs(64, 0.4, 5, 40),

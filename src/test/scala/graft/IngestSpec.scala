@@ -110,6 +110,18 @@ class IngestSpec extends AnyFunSuite {
     assert(t.collect().toSet === again.collect().toSet)
   }
 
+  test("conversationStats: per-conv turn counts, positive span, null tools skipped") {
+    val t = Transcripts.synth(spark, 20, 10).toDF()
+    val got = Ingest.conversationStats(t)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.size === 20)
+    got.values.foreach { case (turns, roles, tools, span, chars) =>
+      assert(turns === 10L && roles >= 1L && span > 0L && chars > 0L)
+      assert(tools <= turns) // countDistinct skips null tools
+    }
+  }
+
   test("transcript edges: no self loops, canonical, participants co-occur") {
     val edges = Ingest.edgesFromTranscripts(Transcripts.synth(spark, 30, 12).toDF())
     val rows = edges.collect()
