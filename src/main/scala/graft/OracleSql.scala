@@ -925,6 +925,9 @@ object OracleSql {
       |  SELECT DISTINCT day, least(cur, prev) AS src, greatest(cur, prev) AS dst
       |  FROM lagd WHERE prev IS NOT NULL AND prev <> cur)""".stripMargin
 
+  /** Twin of [[graft.Ingest.edgesFromEventsDaily]] itself. */
+  val edgesDaily: String = s"WITH $dailyEdgesCte SELECT day, src, dst FROM de"
+
   /** Twin of [[graft.TriangleCount.globalPerKey]] over the daily edges:
     * per-day 3-way join, zero rows kept. */
   val trianglesDaily: String =

@@ -184,6 +184,8 @@ object SparkEntry {
     // at fixpoint, so early convergence yields identical rows)
     "ktruss_edges" -> ((s, d) =>
       TriangleCount.ktrussEdges(s, orientedOf(s, d), k = 4, maxRounds = 2)),
+    // the day-keyed edge table itself (input of the temporal suite)
+    "edges_events_daily" -> ((s, d) => dailyOf(s, d)),
     // per-day triangle counts (temporal clustering evolution): day-keyed
     // subgraphs join only against themselves — parallel across days
     "triangles_daily" -> ((s, d) =>
@@ -535,6 +537,7 @@ object SparkEntry {
     "token_pack_shards" -> OracleSql.tokenPackShards(5000L),
     "token_pack_shards_scalable" -> OracleSql.tokenPackShards(5000L),
     "triangles_daily" -> OracleSql.trianglesDaily,
+    "edges_events_daily" -> OracleSql.edgesDaily,
     "graph_drift_daily" -> OracleSql.edgeDriftDaily,
     "pagerank_daily" -> OracleSql.pagerankDaily(5),
     "pagerank_movers_daily" -> OracleSql.pagerankMoversDaily(5, 3),

@@ -88,6 +88,78 @@ object StreamingIngest {
   /** Per-conversation running state: turn count + distinct participant set, emitted
     * on every update; marked closed when the conversation times out (no event within
     * `timeoutMs` of event time, gated by the watermark). */
+  /** One `events` row, with the day pre-derived by Catalyst (`ts::date` under
+    * the session timezone — NOT JVM-default-zone arithmetic). */
+  case class EvRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, day: java.sql.Date)
+
+  /** Per-(event_type, day) sequencing state: the last event seen and the set
+    * of already-emitted canonical pairs (the streaming stand-in for the batch
+    * form's trailing `distinct`). Bounded by the day's distinct pair count for
+    * one stream, evicted by event-time timeout after the day goes quiet. */
+  case class DailyEdgeState(lastTs: Long, lastEventId: Long, lastUser: Long,
+      emitted: Set[(Long, Long)])
+
+  case class DailyEdge(day: java.sql.Date, src: Long, dst: Long)
+
+  /** Streaming twin of [[graft.Ingest.edgesFromEventsDaily]]: consecutive-user
+    * co-occurrence within each (event_type, day) stream, derived incrementally
+    * with `flatMapGroupsWithState` — the carried state is the last event plus
+    * the emitted-pair set, so each canonical edge is emitted exactly once, as
+    * soon as it first occurs. Streams reset at day boundaries because the day
+    * is part of the group key (exactly the batch window's partition spec).
+    *
+    * Contract: within a group, events must arrive in event-time order across
+    * micro-batches (each batch is sorted internally) — the standard caveat for
+    * any sequential-pairing state; the watermark bounds how late data may be.
+    * Stream==batch differential in StreamingSpec. */
+  def dailyEdgeStream(
+      spark: SparkSession,
+      events: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      timeoutMs: Long = 24L * 3600 * 1000): Dataset[DailyEdge] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("ts").cast("date").as("day"))
+      .as[EvRow]
+      .groupByKey(e => (e.event_type, e.day.toString))
+      .flatMapGroupsWithState[DailyEdgeState, DailyEdge](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (String, String), rows: Iterator[EvRow], state: GroupState[DailyEdgeState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val st = state.getOption
+              .getOrElse(DailyEdgeState(Long.MinValue, Long.MinValue, Long.MinValue, Set.empty))
+            var last = if (st.lastTs == Long.MinValue) None else Some(st.lastUser)
+            var emitted = st.emitted
+            val out = Seq.newBuilder[DailyEdge]
+            batch.foreach { e =>
+              last.foreach { prev =>
+                if (prev != e.user_id) {
+                  val p = (math.min(prev, e.user_id), math.max(prev, e.user_id))
+                  if (!emitted(p)) {
+                    emitted += p
+                    out += DailyEdge(e.day, p._1, p._2)
+                  }
+                }
+              }
+              last = Some(e.user_id)
+            }
+            batch.lastOption.foreach { lastEv =>
+              state.update(DailyEdgeState(lastEv.ts.getTime, lastEv.event_id,
+                lastEv.user_id, emitted))
+              state.setTimeoutTimestamp(lastEv.ts.getTime + timeoutMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   def conversationProgress(
       spark: SparkSession,
       transcripts: DataFrame,

@@ -116,6 +116,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("daily edge stream equals the batch day-keyed derivation (two days, two micro-batches)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-ev").toString
+    val ts = (x: String) => java.sql.Timestamp.valueOf(x)
+    // same two-day shape as the batch fixture: day-1 triangle, day-2 path; the
+    // day-boundary pair (1,4) must not appear. Second chunk arrives later
+    // IN ORDER (the sequential-pairing contract) and repeats an edge (dedup).
+    val chunk1 = Seq(
+      (10L, ts("2026-03-01 10:00:00"), 1L, "t"),
+      (11L, ts("2026-03-01 10:01:00"), 2L, "t"),
+      (12L, ts("2026-03-01 10:02:00"), 3L, "t"))
+    val chunk2 = Seq(
+      (13L, ts("2026-03-01 10:03:00"), 1L, "t"),
+      (14L, ts("2026-03-01 10:04:00"), 2L, "t"), // repeats edge (1,2) → no re-emit
+      (20L, ts("2026-03-02 09:00:00"), 4L, "t"),
+      (21L, ts("2026-03-02 09:01:00"), 5L, "t"),
+      (22L, ts("2026-03-02 09:02:00"), 6L, "t"))
+    // layout matches Ingest.table(dir, "events") so the batch twin reads the
+    // exact same files the stream consumes
+    chunk1.toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING")
+      .parquet(s"$dir/events.parquet")
+    val q = StreamingIngest.dailyEdgeStream(spark, stream)
+      .toDF()
+      .writeStream.format("memory").queryName("daily_edges").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      chunk2.toDF("event_id", "ts", "user_id", "event_type")
+        .write.mode("append").parquet(s"$dir/events.parquet")
+      q.processAllAvailable()
+      val streamed = spark.table("daily_edges")
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+      val batch = Ingest.edgesFromEventsDaily(spark, dir)
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+      assert(streamed === Set(
+        ("2026-03-01", 1L, 2L), ("2026-03-01", 2L, 3L), ("2026-03-01", 1L, 3L),
+        ("2026-03-02", 4L, 5L), ("2026-03-02", 5L, 6L)))
+    } finally q.stop()
+  }
+
   test("conversation progress: running state counts turns and participants per conversation") {
     val dir = stageTranscripts(10, 6)
     val q = StreamingIngest.conversationProgress(spark,
