@@ -347,4 +347,43 @@ object Ingest {
       }
       .toDF()
   }
+
+  /** Sink twin of [[edgesFromBinary]]: write an edge table back out in the
+    * reference's on-disk format — headerless little-endian uint32 pairs
+    * (graph_generator.py:8-16 packing). One `part-NNNNN.bin` shard per
+    * partition (the reader's file_size/8 semantics sum across shards, so a
+    * directory of shards IS a valid graph); ids outside uint32 fail fast
+    * per record. Round-trips bit-exactly (BinaryIngestSpec) and feeds the
+    * reference's own CPU binary in `scripts/ref_differential.sh`-style
+    * workflows. Distributed: each task streams its partition through an 8 MiB
+    * buffered HDFS writer — no driver-side collect, no per-task memory
+    * proportional to data. */
+  def writeBinary(edges: DataFrame, path: String): Unit = {
+    val spark = edges.sparkSession
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val dir = new org.apache.hadoop.fs.Path(path)
+    dir.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(dir)
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        if (rows.nonEmpty) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val fp = new org.apache.hadoop.fs.Path(f"$path/part-$pid%05d.bin")
+          val out = new java.io.BufferedOutputStream(
+            fp.getFileSystem(confBc.value.value).create(fp, true), 8 << 20)
+          try {
+            val rec = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            rows.foreach { r =>
+              val (u, v) = (r.getLong(0), r.getLong(1))
+              require(u >= 0L && u <= 0xFFFFFFFFL && v >= 0L && v <= 0xFFFFFFFFL,
+                s"edge ($u,$v) outside the reference's uint32 id domain")
+              rec.clear()
+              rec.putInt((u & 0xFFFFFFFFL).toInt).putInt((v & 0xFFFFFFFFL).toInt)
+              out.write(rec.array())
+            }
+          } finally out.close()
+        }
+      }
+  }
 }

@@ -454,6 +454,24 @@ class BinaryIngestSpec extends AnyFunSuite {
     assert(TriangleCount.countPairs(Ingest.edgesFromBinary(spark, nv)).first().getLong(0) === 3L)
   }
 
+  test("writeBinary round-trips bit-exactly, including ids above Int.MaxValue") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-binout").toString + "/graph"
+    val big = 0xFFFFFFFFL // uint32 max survives the round trip as a positive long
+    val edges = Seq((1L, 0L), (2L, 1L), (3L, 1L), (3L, 2L), (4L, 2L), (4L, 3L),
+      (5L, 4L), (5L, 3L), (big, 0L))
+    Ingest.writeBinary(TestSpark.edgeDF(edges), dir)
+    val back = Ingest.edgesFromBinary(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(back.sorted.toSeq === edges.sorted)
+    assert(TriangleCount.countPairs(Ingest.edgesFromBinary(spark, dir)).first().getLong(0) === 3L)
+    // out-of-domain ids fail fast
+    val err = intercept[org.apache.spark.SparkException] {
+      Ingest.writeBinary(TestSpark.edgeDF(Seq((0x1_0000_0000L, 1L))), dir + "2")
+    }
+    assert(err.getMessage.contains("uint32") ||
+      Option(err.getCause).exists(_.getMessage.contains("uint32")))
+  }
+
   test("malformed input: odd trailing ints silently truncated (reference file_size/8 semantics)") {
     // 5 ints = 2 edges + half a record — the reference's test_io_false.bin shape
     val p = writeBin("test_io_false.bin", Seq(0L, 1L, 1L, 2L, 7L))
