@@ -1002,6 +1002,35 @@ object OracleSql {
     sb.toString
   }
 
+  /** Twin of the `degree_percentiles` query: DuckDB's `quantile_cont` uses the
+    * same (n−1)·p linear interpolation as Spark's exact `percentile`. */
+  def degreePercentiles(ps: Seq[Double]): String = {
+    val arr = ps.mkString("[", ", ", "]")
+    s"""WITH $graphCtes,
+       |q AS (SELECT quantile_cont(deg, $arr) AS qs FROM deg)
+       |SELECT ($arr)[t.u + 1] AS p, round(qs[t.u + 1], 6) AS deg_p
+       |FROM q, unnest(range(0, ${ps.size})) AS t(u)""".stripMargin
+  }
+
+  /** Twin of [[graft.Temporal.userActivityDrift]]. */
+  val userActivityDrift: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type FROM events),
+      |sz AS (SELECT user_id, day, count(*) AS n FROM ud GROUP BY user_id, day),
+      |iv AS (
+      |  SELECT a.user_id, a.day, count(*) AS common
+      |  FROM ud a JOIN ud b ON b.user_id = a.user_id AND b.day = a.day + 1
+      |                     AND b.event_type = a.event_type
+      |  GROUP BY a.user_id, a.day)
+      |SELECT a.day, b.day AS next_day, a.user_id,
+      |       coalesce(iv.common, 0) AS common,
+      |       a.n AS n_types, b.n AS next_n_types,
+      |       round(coalesce(iv.common, 0) /
+      |             CAST(a.n + b.n - coalesce(iv.common, 0) AS DOUBLE), 6) AS jaccard
+      |FROM sz a
+      |JOIN sz b ON b.user_id = a.user_id AND b.day = a.day + 1
+      |LEFT JOIN iv ON iv.user_id = a.user_id AND iv.day = a.day""".stripMargin
+
   /** Twin of [[graft.Temporal.moversDaily]] over [[pagerankDaily]]: day-over-day
     * top-k rank gainers, same (delta desc, v asc) tie-break. */
   def pagerankMoversDaily(iters: Int, k: Int): String =

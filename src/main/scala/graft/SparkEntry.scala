@@ -97,6 +97,19 @@ object SparkEntry {
     "edges_events_scalable" -> ((s, d) =>
       Ingest.edgesFromEventsScalable(s, d, bucketSeconds = 3600)),
     "degrees" -> ((s, d) => GraphCore.degrees(canonical(s, d))),
+    // exact interpolated degree quantiles (percentile is the EXACT sort-based
+    // aggregate, not approx_percentile — deterministic, oracle-comparable)
+    "degree_percentiles" -> ((s, d) => {
+      val ps = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+      GraphCore.degrees(canonical(s, d))
+        .agg(expr(s"percentile(deg, array(${ps.mkString("D,")}D))").as("q"))
+        .select(posexplode(col("q")).as(Seq("i", "v")))
+        .select(element_at(array(ps.map(lit): _*), col("i") + 1).as("p"),
+          round(col("v"), 6).as("deg_p"))
+    }),
+    // per-user day-over-day behavioral drift (event-type set Jaccard)
+    "user_activity_drift" -> ((s, d) =>
+      Temporal.userActivityDrift(Ingest.table(s, d, "events"))),
     "oriented_edges" -> ((s, d) => orientedOf(s, d)),
     "adjacency_csv" -> ((s, d) =>
       GraphCore.adjacency(orientedOf(s, d))
@@ -513,6 +526,8 @@ object SparkEntry {
     "embed_neardup_pairs" -> OracleSql.embedNearDupPairs(0.4),
     "clustering_coeff" -> OracleSql.clusteringCoeff,
     "degree_histogram" -> OracleSql.degreeHistogram,
+    "degree_percentiles" -> OracleSql.degreePercentiles(Seq(0.25, 0.5, 0.75, 0.9, 0.99)),
+    "user_activity_drift" -> OracleSql.userActivityDrift,
     "multimodal_features" -> OracleSql.multimodalFeatures,
     "frame_sample" -> OracleSql.frameSample(4),
     "simhash64" -> OracleSql.simhash64,

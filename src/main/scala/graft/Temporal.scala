@@ -46,6 +46,37 @@ object Temporal {
           .otherwise(lit(0.0)), 6).as("density"))
   }
 
+  /** Per-user behavioral drift: Jaccard similarity of a user's event-type set
+    * on consecutive days — the per-entity refinement of [[edgeDriftDaily]]
+    * (did THIS user's behavior change overnight). One row per (user, day pair
+    * active on both days). Output (day, next_day, user_id, common, n_types,
+    * next_n_types, jaccard).
+    *
+    * Scale shape: distinct (user, day, type) is one map-side-combinable pass;
+    * the intersection is an equi-join co-partitioned on (user, day+1, type);
+    * the stitch joins two (user, day)-sized summaries. */
+  def userActivityDrift(events: DataFrame): DataFrame = {
+    val ud = events
+      .select(col("user_id"), col("ts").cast("date").as("day"), col("event_type"))
+      .distinct()
+    val sizes = ud.groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("n"))
+    val nxt = ud.select(col("user_id").as("u2"), col("day").as("nday"), col("event_type").as("t2"))
+    val common = ud
+      .join(nxt, col("user_id") === col("u2") && date_add(col("day"), 1) === col("nday")
+        && col("event_type") === col("t2"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("common"))
+    sizes
+      .join(sizes.select(col("user_id").as("u3"), col("day").as("next_day"), col("n").as("next_n")),
+        col("user_id") === col("u3") && date_add(col("day"), 1) === col("next_day"))
+      .join(common, Seq("user_id", "day"), "left")
+      .select(col("day"), col("next_day"), col("user_id"),
+        coalesce(col("common"), lit(0L)).as("common"),
+        col("n").as("n_types"), col("next_n").as("next_n_types"),
+        round(coalesce(col("common"), lit(0L)) /
+          (col("n") + col("next_n") - coalesce(col("common"), lit(0L))), 6).as("jaccard"))
+  }
+
   /** Day-over-day top-k rank movers: join a per-day score table (day, v, pr)
     * with itself shifted one day, rank the gainers per day pair by
     * (delta desc, v asc). The "who surged overnight" feed composing

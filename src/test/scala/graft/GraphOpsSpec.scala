@@ -367,6 +367,34 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(q1.length === 1 && math.abs(q1.head.getDouble(4)) < 1e-9)
   }
 
+  test("userActivityDrift: hand-computed type-set Jaccard, inactive days break pairs") {
+    val s = spark
+    import s.implicits._
+    val ts = (x: String) => java.sql.Timestamp.valueOf(x)
+    // user 1: {a,b} on day1, {b,c} on day2 → jaccard 1/3; user 2: day1 only
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"), (2L, ts("2024-01-01 11:00:00"), 1L, "b"),
+      (3L, ts("2024-01-02 10:00:00"), 1L, "b"), (4L, ts("2024-01-02 11:00:00"), 1L, "c"),
+      (5L, ts("2024-01-01 12:00:00"), 2L, "a"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = Temporal.userActivityDrift(events)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSet
+    assert(got === Set(("2024-01-01", 1L, 1L, 2L, 2L, 0.333333)))
+  }
+
+  test("degree percentiles: exact interpolation on a hand-computed degree multiset") {
+    // degrees of the 0-1-2 triangle with tail 2-3: sorted multiset (1,2,2,3)
+    // p=0.5 → idx (4−1)·0.5 = 1.5 → 2.0; p=0.75 → idx 2.25 → 2 + 0.25·(3−2) = 2.25
+    val c = canonical(Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L)))
+    val ps = Seq(0.5, 0.75)
+    val got = GraphCore.degrees(c)
+      .agg(expr("percentile(deg, array(0.5D, 0.75D))").as("q"))
+      .select(posexplode(col("q")).as(Seq("i", "v")))
+      .collect().map(r => ps(r.getInt(0)) -> r.getDouble(1)).toMap
+    assert(got === Map(0.5 -> 2.0, 0.75 -> 2.25))
+  }
+
   test("moversDaily: hand-computed deltas, gainers ranked first, day gaps break pairs") {
     val s = spark
     import s.implicits._
