@@ -364,7 +364,12 @@ object Ingest {
       new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))
     val dir = new org.apache.hadoop.fs.Path(path)
-    dir.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(dir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // overwrite semantics: a previous run with MORE partitions would otherwise
+    // leave stale part files behind — and the reader's file_size/8 sum would
+    // silently count them as extra edges
+    fs.delete(dir, true)
+    fs.mkdirs(dir)
     edges.select(col("src").cast("long"), col("dst").cast("long"))
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         if (rows.nonEmpty) {

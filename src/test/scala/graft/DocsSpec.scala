@@ -464,6 +464,9 @@ class BinaryIngestSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(back.sorted.toSeq === edges.sorted)
     assert(TriangleCount.countPairs(Ingest.edgesFromBinary(spark, dir)).first().getLong(0) === 3L)
+    // re-writing a SMALLER edge set to the same path must not leave stale shards
+    Ingest.writeBinary(TestSpark.edgeDF(edges.take(2)).repartition(1), dir)
+    assert(Ingest.edgesFromBinary(spark, dir).count() === 2L)
     // out-of-domain ids fail fast
     val err = intercept[org.apache.spark.SparkException] {
       Ingest.writeBinary(TestSpark.edgeDF(Seq((0x1_0000_0000L, 1L))), dir + "2")
