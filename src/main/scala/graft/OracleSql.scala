@@ -1286,6 +1286,32 @@ object OracleSql {
     sb.toString
   }
 
+  /** Twin of [[graft.Walks.deterministicWalks]]: the identical affine-remix
+    * neighbor pick over the sorted capped neighbor list, unrolled per step. */
+  def deterministicWalks(steps: Int, startMod: Int, maxNeighbors: Int): String = {
+    val sb = new StringBuilder
+    sb.append("WITH ").append(graphCtes).append(",\n")
+    sb.append(
+      s"""al AS (
+         |  SELECT u AS av, list_slice(list(w ORDER BY w), 1, $maxNeighbors) AS nbrs
+         |  FROM ud GROUP BY u),
+         |w0 AS (SELECT v AS walk_id, v, CAST(0 AS BIGINT) AS step FROM verts
+         |       WHERE ((v % $startMod) + $startMod) % $startMod = 0)""".stripMargin)
+    for (s <- 1 to steps) {
+      sb.append(s""",
+        |w$s AS (
+        |  SELECT w.walk_id,
+        |    al.nbrs[CAST(((((w.v % 1000000007) + 1000000007) % 1000000007
+        |      * 2654435761 + ${s.toLong * 40503L}) % 1000000007) % len(al.nbrs) + 1 AS BIGINT)] AS v,
+        |    CAST($s AS BIGINT) AS step
+        |  FROM w${s - 1} w JOIN al ON al.av = w.v)""".stripMargin)
+    }
+    sb.append("\nSELECT walk_id, step, v FROM (")
+    sb.append((0 to steps).map(s => s"SELECT walk_id, step, v FROM w$s").mkString(" UNION ALL "))
+    sb.append(") t")
+    sb.toString
+  }
+
   /** Shared bipartite incidence CTE: user × UTC-hour activity membership. */
   private val hourlyMembershipCte: String =
     """mem AS (

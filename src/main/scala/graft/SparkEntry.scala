@@ -282,6 +282,9 @@ object SparkEntry {
     // frontier-delta BFS keyed by source — the keyed-kernel pattern)
     "harmonic_centrality" -> ((s, d) =>
       Bfs.harmonicCentrality(canonical(s, d), v => pmod(v, lit(31)) === 0, rounds = 4)),
+    // deterministic random-walk sequence corpus (DeepWalk/node2vec data prep)
+    "random_walks" -> ((s, d) =>
+      Walks.deterministicWalks(canonical(s, d), steps = 4, startMod = 31)),
     // weighted LPA: label votes carry the co-occurrence multiplicity
     "lpa_weighted_2step" -> ((s, d) =>
       LabelProp.runWeighted(Ingest.weightedEdgesFromEvents(s, d), 2)),
@@ -508,6 +511,7 @@ object SparkEntry {
     "lpa_weighted_2step" -> OracleSql.lpaWeightedFixed(2),
     "bfs_distances" -> OracleSql.bfsDistances(4, 31),
     "harmonic_centrality" -> OracleSql.harmonicCentrality(4, 31),
+    "random_walks" -> OracleSql.deterministicWalks(4, 31, 1024),
     "lpa_2step" -> OracleSql.lpaFixed(2),
     "community_modularity" -> OracleSql.communityModularity(2),
     "q1_agg" -> OracleSql.q1Agg,

@@ -249,6 +249,27 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got === Map(0L -> 0L, 1L -> 1L))
   }
 
+  test("random walks: valid edges every hop, deterministic, cap-1 degenerates to min-neighbor") {
+    val c = canonical(TestSpark.fixtures.nvgraph8)
+    val walks = Walks.deterministicWalks(c, steps = 3, startMod = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1)))
+    val byWalk = walks.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(byWalk.size === 6 && byWalk.values.forall(_.length === 4))
+    val sym = GraphCore.symmetric(c).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    byWalk.foreach { case (start, path) =>
+      assert(path.head === start)
+      path.sliding(2).foreach { case Seq(a, b) => assert(sym((a, b)), s"($a,$b) not an edge") }
+    }
+    val again = Walks.deterministicWalks(c, steps = 3, startMod = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1))).toSet
+    assert(again === walks.toSet)
+    // maxNeighbors = 1 keeps only the smallest neighbor → K3 walk alternates 0,1
+    val k3 = Walks.deterministicWalks(canonical(TestSpark.fixtures.tri1),
+        steps = 3, startMod = 3, maxNeighbors = 1) // starts: v=0
+      .collect().map(r => (r.getLong(2), r.getLong(1))).sortBy(_._1).map(_._2).toSeq
+    assert(k3 === Seq(0L, 1L, 0L, 1L))
+  }
+
   test("harmonic centrality: path-graph golden; per-source min equals multi-source BFS") {
     val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
     // H(0) over 4 rounds = 1 + 1/2 + 1/3 + 1/4 = 2.083333
