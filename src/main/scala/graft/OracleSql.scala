@@ -290,6 +290,18 @@ object OracleSql {
     sb.toString
   }
 
+  /** Twin of the `q3_join` star-join query (same rounding as [[q1Agg]]). */
+  val q3Join: String =
+    """SELECT n_name,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN nation ON n_nationkey = c_nationkey
+      |WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+      |GROUP BY n_name""".stripMargin
+
   val q1Agg: String =
     """SELECT l_returnflag, l_linestatus,
       |       round(sum(l_quantity), 4) AS sum_qty,

@@ -324,6 +324,22 @@ object SparkEntry {
           round(sum(col("l_quantity")), 4).as("sum_qty"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
           count(lit(1)).as("n_rows"))),
+    // multi-way star join with a selective date predicate: revenue per nation
+    // for one order year. The plan the 100 TB shape wants: the o_orderdate
+    // filter pushes into the orders parquet scan, columns prune everywhere,
+    // nation (25 rows) broadcasts, and the fact-to-fact joins shuffle on their
+    // keys — asserted in HarnessSpec (pushdown + broadcast + pruning)
+    "q3_join" -> ((s, d) =>
+      Ingest.table(s, d, "lineitem")
+        .join(Ingest.table(s, d, "orders")
+          .where(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Ingest.table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Ingest.table(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))),
     // --- training-data pipeline: text analysis ----------------------------------
     "token_count" -> ((s, d) => docs.TextOps.tokenCount(Ingest.table(s, d, "documents"))),
     "token_count_bpe" -> ((s, d) => docs.TextOps.tokenCountBpe(Ingest.table(s, d, "documents"))),
@@ -515,6 +531,7 @@ object SparkEntry {
     "lpa_2step" -> OracleSql.lpaFixed(2),
     "community_modularity" -> OracleSql.communityModularity(2),
     "q1_agg" -> OracleSql.q1Agg,
+    "q3_join" -> OracleSql.q3Join,
     "token_count" -> OracleSql.tokenCount,
     "token_count_bpe" -> OracleSql.tokenCountBpe,
     "lang_id" -> OracleSql.langId,

@@ -30,6 +30,25 @@ class HarnessSpec extends AnyFunSuite {
     assert(res("q1_agg").isLeft)
   }
 
+  test("q3_join plans pushdown, pruning, and the dim broadcast (the 100 TB star-join shape)") {
+    val df = SparkEntry.queries("q3_join")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the selective date predicate must reach the orders parquet scan
+    assert(plan.contains("PushedFilters") && plan.contains("o_orderdate"),
+      "date filter not pushed to the scan")
+    assert(plan.split('\n').exists(l =>
+        l.contains("PushedFilters") && l.contains("o_orderdate") &&
+        (l.contains("GreaterThanOrEqual") || l.contains("Gte"))),
+      s"range predicate missing from PushedFilters")
+    // the 25-row nation dim must broadcast, not shuffle
+    assert(plan.contains("BroadcastHashJoin"), "nation join is not a broadcast hash join")
+    // column pruning: the lineitem scan must read only the 3 needed columns
+    val lineSchema = plan.split('\n').filter(l => l.contains("ReadSchema") && l.contains("l_orderkey"))
+    assert(lineSchema.nonEmpty && lineSchema.forall(!_.contains("l_shipdate")),
+      "lineitem scan reads columns the query never uses")
+  }
+
   test("CacheTracker bounds per-session tracked persists (evicts oldest, never grows unbounded)") {
     val s = spark.newSession()
     import s.implicits._
