@@ -7,9 +7,10 @@ import org.apache.spark.sql.SparkSession
   * derive the edge table and run one kernel.
   *
   * Usage: `graft.Cli <kernel> <input> [maxIter]`
-  * kernels: triangles | triangles-adj | pervertex | pagerank | pagerank-w | components | lpa | lpa-w | degrees | kcore | bfs | linkpred | assortativity
+  * kernels: triangles | triangles-adj | pervertex | pagerank | pagerank-w | components | lpa | lpa-w | degrees | kcore | bfs | linkpred | assortativity | walks | harmonic | triangles-daily | pagerank-daily | components-daily | drift
   * input: a testdata dir (events.parquet edge derivation), or a `.bin` path — the
   * reference's own little-endian uint32 pair format (the `-f graph.bin` path).
+  * The `-daily`/`drift` kernels need event timestamps, so they reject `.bin` input.
   */
 object Cli {
   def main(args: Array[String]): Unit = {
@@ -19,7 +20,8 @@ object Cli {
     }
     val kernel = args(0)
     val known = Set("triangles", "triangles-adj", "pervertex", "pagerank", "pagerank-w",
-      "components", "lpa", "lpa-w", "degrees", "kcore", "bfs", "linkpred", "assortativity")
+      "components", "lpa", "lpa-w", "degrees", "kcore", "bfs", "linkpred", "assortativity",
+      "walks", "harmonic", "triangles-daily", "pagerank-daily", "components-daily", "drift")
     if (!known(kernel)) {
       System.err.println(s"unknown kernel: $kernel (expected one of ${known.toSeq.sorted.mkString(", ")})")
       sys.exit(2)
@@ -67,6 +69,19 @@ object Cli {
         Bfs.distances(canonical, v => pmod(v, lit(31L)) === 0L, rounds = maxIter)
       case "linkpred" => LinkPredict.scores(canonical)
       case "assortativity" => GraphCore.assortativity(canonical)
+      case "walks" => Walks.deterministicWalks(canonical, steps = maxIter, startMod = 31)
+      case "harmonic" =>
+        import org.apache.spark.sql.functions.{lit, pmod}
+        Bfs.harmonicCentrality(canonical, v => pmod(v, lit(31L)) === 0L, rounds = maxIter)
+      case daily @ ("triangles-daily" | "pagerank-daily" | "components-daily" | "drift") =>
+        require(!sfDir.endsWith(".bin"), s"$daily needs event timestamps — not available in .bin input")
+        val dailyEdges = Ingest.edgesFromEventsDaily(spark, sfDir).persist()
+        daily match {
+          case "triangles-daily" => TriangleCount.globalPerKey(dailyEdges)
+          case "pagerank-daily" => PageRank.fixedIterationsKeyed(dailyEdges, maxIter)
+          case "components-daily" => Components.runKeyed(dailyEdges)
+          case _ => Temporal.edgeDriftDaily(dailyEdges)
+        }
       case other =>
         System.err.println(s"unknown kernel: $other"); sys.exit(2); null
     }

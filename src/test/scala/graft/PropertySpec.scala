@@ -176,4 +176,49 @@ class PropertySpec extends AnyFunSuite {
       assert(a === b)
     }
   }
+
+  test("keyed kernels: per-key results equal per-subgraph runs on random keyed graphs (3 seeds)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    cases(40 until 43).foreach { es =>
+      // split one random edge list across 3 keys deterministically
+      val keyed = GraphCore.clean(edgeDF(es))
+        .withColumn("day", org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64(col("src"), col("dst")), lit(3L)))
+        .select(col("day"), col("src"), col("dst"))
+      val tri = TriangleCount.globalPerKey(keyed)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val cc = Components.runKeyed(keyed)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      for (k <- tri.keys) {
+        val sub = keyed.where(col("day") === k).select("src", "dst")
+        val wantTri = TriangleCount.countPairs(sub).first().getLong(0)
+        assert(tri(k) === wantTri, s"triangles key=$k")
+        val wantCc = Components.run(sub)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(wantCc === cc.collect { case ((kk, v), c) if kk == k => v -> c },
+          s"components key=$k")
+      }
+    }
+  }
+
+  test("modularity: Q of any partition is within [-0.5, 1]; finer-than-components never beats it trivially") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    cases(50 until 53).foreach { es =>
+      val c = GraphCore.clean(edgeDF(es))
+      if (c.count() > 0) {
+        // partition 1: connected components (guaranteed valid communities)
+        val comp = Components.run(c).select(col("v"), col("component").as("label"))
+        val q = LabelProp.communityModularity(c, comp)
+          .agg(org.apache.spark.sql.functions.sum(col("q_contrib"))).first().getDouble(0)
+        assert(q >= -0.5 - 1e-9 && q <= 1.0 + 1e-9, s"Q=$q out of range")
+        // component partitions have zero inter-community edges → every
+        // contribution is e_c/m − (d_c/2m)² with Σe_c = m ⇒ Q ≥ 0 here
+        assert(q >= -1e-9, s"component partition scored negative Q=$q")
+      }
+    }
+  }
 }
