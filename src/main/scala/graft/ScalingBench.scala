@@ -79,7 +79,11 @@ object ScalingBench {
         import org.apache.spark.sql.functions._
         PageRank.fixedIterationsKeyed(
           edges.withColumn("day", pmod(xxhash64(col("src"), col("dst")), lit(30L))), 5)
-      }))
+      }),
+      // deterministic random walks from EVERY vertex (the DeepWalk corpus
+      // shape): frontier-joins-capped-adjacency per step
+      "walks_4steps" -> (() =>
+        Walks.deterministicWalks(edges, steps = 4, startMod = 1)))
   }
 
   private def gen(nConvs: Long, nTools: Int, path: String): Unit = {
