@@ -45,16 +45,43 @@ object CacheTracker {
   def evictionCount(spark: SparkSession): Long =
     Option(evictions.get(spark)).map(_.get()).getOrElse(0L)
 
-  /** Persist `df` and remember it for later [[release]]. Idempotent per
-    * handle: re-persisting an already-tracked DataFrame neither double-counts
-    * toward the bound nor double-unpersists on release. */
-  def persist(df: DataFrame): DataFrame = {
-    val persisted = df.persist() // track only after persist() succeeds
+  private val bytesEst =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.util.concurrent.atomic.AtomicLong]()
+
+  /** Cumulative Catalyst size ESTIMATE (plan stats, pre-execution) of every
+    * frame tracked this session — observability for memory-pressure
+    * hypotheses (round-4 verdict #6: make persisted volume visible in the
+    * bench JSON, so a recompute-under-contention outlier is explainable). */
+  def persistedBytesEstimate(spark: SparkSession): Long =
+    Option(bytesEst.get(spark)).map(_.get()).getOrElse(0L)
+
+  /** Persist `df` (optionally at an explicit [[StorageLevel]] — operators with
+    * contention-sensitive pipelines pass MEMORY_AND_DISK explicitly so the
+    * spill-not-recompute contract is visible at the call site) and remember it
+    * for later [[release]]. Idempotent per handle: re-persisting an
+    * already-tracked DataFrame neither double-counts toward the bound nor
+    * double-unpersists on release. */
+  def persist(df: DataFrame): DataFrame = persist(df, None)
+
+  def persist(df: DataFrame, level: org.apache.spark.storage.StorageLevel): DataFrame =
+    persist(df, Some(level))
+
+  private def persist(df: DataFrame, level: Option[org.apache.spark.storage.StorageLevel]): DataFrame = {
+    // track only after persist() succeeds
+    val persisted = level.map(df.persist).getOrElse(df.persist())
     val s = df.sparkSession
     var seen = false
     tracked.forEach(e => if ((e._1 eq s) && (e._2 eq df)) seen = true)
     if (!seen) {
       tracked.add((s, df))
+      // plan-stats estimate (cheap, no action); clamp unknown/huge sentinels
+      val est = try {
+        val b = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        if (b.isValidLong && b.toLong > 0L && b.toLong < (1L << 50)) b.toLong else 0L
+      } catch { case _: Throwable => 0L }
+      if (est > 0L)
+        bytesEst.computeIfAbsent(s,
+          _ => new java.util.concurrent.atomic.AtomicLong(0L)).addAndGet(est)
       while (trackedCount(s) > maxTrackedPerSession) evictOldest(s)
     }
     persisted

@@ -6,24 +6,39 @@ import org.apache.spark.sql.SparkSession
   * `./nvtc-variant -f graph.bin` (`/root/reference/nvtc/main.cpp:25-50`):
   * derive the edge table and run one kernel.
   *
-  * Usage: `graft.Cli <kernel> <input> [maxIter]`
-  * kernels: triangles | triangles-adj | pervertex | pagerank | pagerank-w | components | lpa | lpa-w | degrees | kcore | bfs | linkpred | assortativity | walks | harmonic | triangles-daily | pagerank-daily | components-daily | drift
+  * Usage: `graft.Cli <kernel> <input> [n]` — the third positional arg is the
+  * kernel's budget knob: iterations (pagerank/lpa), rounds (bfs/harmonic),
+  * steps (walks), or K the coreness threshold (kcore). See [[usage]].
   * input: a testdata dir (events.parquet edge derivation), or a `.bin` path — the
   * reference's own little-endian uint32 pair format (the `-f graph.bin` path).
   * The `-daily`/`drift` kernels need event timestamps, so they reject `.bin` input.
   */
 object Cli {
+  /** One source of truth for the accepted kernels — the usage string is
+    * rendered from this set (round-4 advice: the hand-written usage line had
+    * drifted behind the dispatch). */
+  val known: Set[String] = Set("triangles", "triangles-adj", "pervertex", "pagerank", "pagerank-w",
+    "components", "lpa", "lpa-w", "degrees", "kcore", "bfs", "linkpred", "assortativity",
+    "walks", "harmonic", "triangles-daily", "pagerank-daily", "components-daily", "drift")
+
+  def usage: String =
+    s"""usage: graft.Cli <kernel> <input> [n]
+       |kernels: ${known.toSeq.sorted.mkString(" | ")}
+       |  [n] (default 20) is the kernel's budget knob: max iterations for
+       |  pagerank/pagerank-w/lpa/lpa-w/*-daily, rounds for bfs/harmonic,
+       |  steps for walks — and K for kcore (the coreness threshold).
+       |input: a testdata dir (events.parquet derivation) or a .bin path
+       |  (the reference's little-endian uint32 pair format);
+       |  *-daily/drift need timestamps and reject .bin input.""".stripMargin
+
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
-      System.err.println("usage: graft.Cli <triangles|triangles-adj|pervertex|pagerank|pagerank-w|components|lpa|lpa-w|degrees|kcore|bfs|linkpred|assortativity> <sfDir> [maxIter]")
+      System.err.println(usage)
       sys.exit(2)
     }
     val kernel = args(0)
-    val known = Set("triangles", "triangles-adj", "pervertex", "pagerank", "pagerank-w",
-      "components", "lpa", "lpa-w", "degrees", "kcore", "bfs", "linkpred", "assortativity",
-      "walks", "harmonic", "triangles-daily", "pagerank-daily", "components-daily", "drift")
     if (!known(kernel)) {
-      System.err.println(s"unknown kernel: $kernel (expected one of ${known.toSeq.sorted.mkString(", ")})")
+      System.err.println(s"unknown kernel: $kernel\n$usage")
       sys.exit(2)
     }
     val sfDir = args(1)

@@ -300,6 +300,12 @@ object Ingest {
     val files = Option(fs.globStatus(hp)).getOrElse(Array.empty)
       .flatMap(st => if (st.isDirectory) fs.listStatus(st.getPath) else Array(st))
       .filterNot(_.isDirectory)
+      // skip markers/hidden files (the _SUCCESS our own sink writes): their
+      // bytes are not edge records and must not enter the size/8 count
+      .filterNot { st =>
+        val n = st.getPath.getName
+        n.startsWith("_") || n.startsWith(".")
+      }
     val recsPerSplit = math.max(splitBytes / 8, 1L)
     val splits = files.toSeq.flatMap { st =>
       val m = st.getLen / 8 // trailing partial record dropped, per reference semantics
@@ -357,7 +363,24 @@ object Ingest {
     * reference's own CPU binary in `scripts/ref_differential.sh`-style
     * workflows. Distributed: each task streams its partition through an 8 MiB
     * buffered HDFS writer — no driver-side collect, no per-task memory
-    * proportional to data. */
+    * proportional to data.
+    *
+    * Commit protocol (round-4 advice: the delete-then-write form could destroy
+    * the previous output on a mid-job failure, and the reference reader's
+    * size/8 semantics would silently accept a partial directory as a valid
+    * truncated graph):
+    *  1. tasks write into a hidden staging dir beside the target, each attempt
+    *     to its OWN `part-NNNNN.bin.attempt-K` file, renamed to the final part
+    *     name on task success (rename is the atomic primitive; a losing
+    *     speculative/retried attempt finds the name taken — identical bytes,
+    *     deterministic partition — and discards its own file);
+    *  2. only after the job succeeds: `_SUCCESS` marker, then delete the old
+    *     target and rename staging → target.
+    * A failure at ANY earlier point leaves the previous output untouched and
+    * at worst an orphaned `._staging-*` dir (hidden names are invisible to
+    * [[edgesFromBinary]], which also skips `_SUCCESS` in the record count).
+    * The only non-atomic window is delete-target→rename-staging, which leaves
+    * NO target — a loud missing-directory error, never a silent truncation. */
   def writeBinary(edges: DataFrame, path: String): Unit = {
     val spark = edges.sparkSession
     val confBc = spark.sparkContext.broadcast(
@@ -365,30 +388,62 @@ object Ingest {
         spark.sparkContext.hadoopConfiguration))
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // overwrite semantics: a previous run with MORE partitions would otherwise
-    // leave stale part files behind — and the reader's file_size/8 sum would
-    // silently count them as extra edges
-    fs.delete(dir, true)
-    fs.mkdirs(dir)
-    edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-        if (rows.nonEmpty) {
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          val fp = new org.apache.hadoop.fs.Path(f"$path/part-$pid%05d.bin")
-          val out = new java.io.BufferedOutputStream(
-            fp.getFileSystem(confBc.value.value).create(fp, true), 8 << 20)
-          try {
-            val rec = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-            rows.foreach { r =>
-              val (u, v) = (r.getLong(0), r.getLong(1))
-              require(u >= 0L && u <= 0xFFFFFFFFL && v >= 0L && v <= 0xFFFFFFFFL,
-                s"edge ($u,$v) outside the reference's uint32 id domain")
-              rec.clear()
-              rec.putInt((u & 0xFFFFFFFFL).toInt).putInt((v & 0xFFFFFFFFL).toInt)
-              out.write(rec.array())
+    val staging = new org.apache.hadoop.fs.Path(
+      dir.getParent, s"._staging-${dir.getName}-${java.util.UUID.randomUUID()}")
+    fs.mkdirs(staging)
+    val stagingStr = staging.toString
+    try {
+      edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          if (rows.nonEmpty) {
+            val tc = org.apache.spark.TaskContext.get()
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val attempt = Option(tc).map(_.attemptNumber()).getOrElse(0)
+            val taskFs = staging.getFileSystem(confBc.value.value)
+            val tmp = new org.apache.hadoop.fs.Path(
+              f"$stagingStr/part-$pid%05d.bin.attempt-$attempt")
+            val fin = new org.apache.hadoop.fs.Path(f"$stagingStr/part-$pid%05d.bin")
+            val out = new java.io.BufferedOutputStream(taskFs.create(tmp, true), 8 << 20)
+            try {
+              val rec = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              rows.foreach { r =>
+                val (u, v) = (r.getLong(0), r.getLong(1))
+                require(u >= 0L && u <= 0xFFFFFFFFL && v >= 0L && v <= 0xFFFFFFFFL,
+                  s"edge ($u,$v) outside the reference's uint32 id domain")
+                rec.clear()
+                rec.putInt((u & 0xFFFFFFFFL).toInt).putInt((v & 0xFFFFFFFFL).toInt)
+                out.write(rec.array())
+              }
+            } finally out.close()
+            // task commit: atomic rename to the final part name; if another
+            // attempt of this partition already committed, keep its (byte-
+            // identical) file and drop ours
+            if (!taskFs.rename(tmp, fin)) {
+              if (!taskFs.exists(fin))
+                throw new java.io.IOException(s"commit rename failed for $fin")
+              taskFs.delete(tmp, false)
             }
-          } finally out.close()
+          }
+          ()
         }
+      // job commit: sweep any orphaned attempt files first (a task that died
+      // AFTER writing but BEFORE its rename leaves one; its successful retry
+      // committed the real part) — they must not reach the target's size/8 sum
+      fs.listStatus(staging).foreach { st =>
+        if (st.getPath.getName.contains(".attempt-")) fs.delete(st.getPath, false)
       }
+      // marker next (staging is complete), then swap directories
+      fs.create(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"), true).close()
+      // overwrite semantics: a previous run with MORE partitions would
+      // otherwise leave stale part files behind — and the reader's size/8 sum
+      // would silently count them as extra edges
+      fs.delete(dir, true)
+      if (!fs.rename(staging, dir))
+        throw new java.io.IOException(s"final rename $staging -> $dir failed")
+    } finally {
+      // failure on any path above: the staging dir (not the previous output)
+      // is what gets discarded
+      if (fs.exists(staging)) fs.delete(staging, true)
+    }
   }
 }

@@ -405,7 +405,11 @@ object OracleSql {
     * k-char shingles, `hx(doc_id, x)` the portable 60-bit rolling double hash —
     * the DuckDB twin of [[graft.docs.Dedup.shingleHashes]], shared by every
     * shingle-consuming oracle (MinHash, cluster dedup, contamination) so the
-    * hash definition has exactly one SQL rendering. */
+    * hash definition has exactly one SQL rendering. NOTE `hx`'s DISTINCT is
+    * over (doc_id, x) — the HASH, not the shingle string — deliberately: the
+    * engine's per-doc sets are sets of hashes, so two shingles colliding to
+    * one hash count once on BOTH sides (bit-exact parity even under a
+    * ~2^-60-probability collision). */
   def shingleHashCtes(k: Int): String =
     s"""shing AS (
        |  SELECT DISTINCT doc_id, substr("text", u, $k) AS sh
@@ -453,18 +457,41 @@ object OracleSql {
   }
 
   /** Scale-path twin of [[dedupClusterCanonical]]: transitive closure over the
-    * [[minhashLshPairs]] edge set (embedded as a subquery — one source of
-    * truth), min doc_id per cluster, singletons map to themselves. */
-  def dedupClusterCanonicalLsh(k: Int, perms: Int, bands: Int, threshold: Double): String =
-    s"""WITH RECURSIVE p AS (SELECT * FROM (${minhashLshPairs(k, perms, bands, threshold)}) t),
-       |ud AS (SELECT a AS u, b AS w FROM p UNION ALL SELECT b AS u, a AS w FROM p),
-       |r(v, l) AS (
-       |  SELECT u, u FROM (SELECT DISTINCT u FROM ud)
-       |  UNION
-       |  SELECT ud.w, r.l FROM r JOIN ud ON ud.u = r.v),
-       |m AS (SELECT v, min(l) AS c FROM r GROUP BY v)
-       |SELECT d.doc_id, coalesce(m.c, d.doc_id) AS canonical_id
-       |FROM documents d LEFT JOIN m ON m.v = d.doc_id""".stripMargin
+    * [[minhashLshPairs]] edge set (embedded as a MATERIALIZED subquery — one
+    * source of truth, evaluated once), min doc_id per cluster, singletons map
+    * to themselves. The closure is `rounds` UNROLLED min-label propagation
+    * steps (l ← min(l, min over neighbors)) rather than a recursive CTE —
+    * DuckDB's recursive union spilled at sf0.1 (round-4 verdict #4), while the
+    * bounded form is a fixed join pipeline. Correct as long as `rounds` covers
+    * every cluster's min-vertex eccentricity; near-dup clusters are
+    * template-duplicate near-cliques with tiny diameters, and DocsSpec asserts
+    * round `rounds` is a fixpoint (== exact Components closure) at BOTH
+    * sf0.01 and sf0.1, so the budget is pinned, not assumed. */
+  def dedupClusterCanonicalLsh(
+      k: Int, perms: Int, bands: Int, threshold: Double, rounds: Int = 8): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH p AS MATERIALIZED (${minhashLshPairs(k, perms, bands, threshold)}),
+         |pud AS MATERIALIZED (
+         |  SELECT a AS u, b AS w FROM p UNION ALL SELECT b AS u, a AS w FROM p),
+         |l0 AS (SELECT u AS v, u AS l FROM (SELECT DISTINCT u FROM pud))""".stripMargin)
+    for (r <- 0 until rounds) {
+      // each round references the previous one TWICE — MATERIALIZED is load-
+      // bearing (plain CTEs inline, doubling the plan per round: 2^rounds
+      // copies by round 8, the very spill this form exists to remove)
+      sb.append(s""",
+        |l${r + 1} AS MATERIALIZED (
+        |  SELECT v, min(l) AS l FROM (
+        |    SELECT v, l FROM l$r
+        |    UNION ALL
+        |    SELECT pud.w AS v, l$r.l FROM l$r JOIN pud ON pud.u = l$r.v)
+        |  GROUP BY v)""".stripMargin)
+    }
+    sb.append(s"""
+       |SELECT d.doc_id, coalesce(m.l, d.doc_id) AS canonical_id
+       |FROM documents d LEFT JOIN l$rounds m ON m.v = d.doc_id""".stripMargin)
+    sb.toString
+  }
 
   /** Per-document 64-bit SimHash CTE — twin of [[graft.docs.Dedup.simhash]] (same
     * rolling token hash and affine per-bit re-mix). Bit 63 cannot be built as
@@ -1171,15 +1198,17 @@ object OracleSql {
        |GROUP BY u""".stripMargin).toString
   }
 
-  /** Twin of [[graft.LinkPredict.scores]] (no middle-degree cap): wedge
-    * enumeration through each middle vertex, existing edges anti-joined out. */
-  val linkPrediction: String =
+  /** Twin of [[graft.LinkPredict.scores]]: wedge enumeration through each
+    * middle vertex, existing edges anti-joined out. `cap` (None = exact)
+    * mirrors `maxMiddleDegree` — the hub mitigation the registered
+    * `link_prediction_scalable` twin runs with. */
+  def linkPredictionSql(cap: Option[Long]): String =
     s"""WITH $graphCtes,
        |wed AS (
        |  SELECT l.w AS u, r.w AS w, d.deg AS deg_z
        |  FROM ud l
        |  JOIN ud r ON r.u = l.u AND l.w < r.w
-       |  JOIN deg d ON d.v = l.u),
+       |  JOIN deg d ON d.v = l.u${cap.map(c => s" AND d.deg <= $c").getOrElse("")}),
        |agg AS (
        |  SELECT u, w, count(*) AS cn, sum(1.0 / ln(deg_z)) AS aa_raw
        |  FROM wed GROUP BY u, w),
@@ -1192,6 +1221,8 @@ object OracleSql {
        |FROM cand c
        |JOIN deg du ON du.v = c.u
        |JOIN deg dw ON dw.v = c.w""".stripMargin
+
+  val linkPrediction: String = linkPredictionSql(None)
 
   /** Twin of [[graft.LinkPredict.similarTopK]]: the [[linkPrediction]] pairs
     * symmetrized, ranked per vertex with the same (jac desc, nbr asc)
@@ -1299,7 +1330,8 @@ object OracleSql {
   }
 
   /** Twin of [[graft.Walks.deterministicWalks]]: the identical affine-remix
-    * neighbor pick over the sorted capped neighbor list, unrolled per step. */
+    * neighbor pick (walk_id included — distinct walks never merge on contact)
+    * over the sorted capped neighbor list, unrolled per step. */
   def deterministicWalks(steps: Int, startMod: Int, maxNeighbors: Int): String = {
     val sb = new StringBuilder
     sb.append("WITH ").append(graphCtes).append(",\n")
@@ -1314,7 +1346,9 @@ object OracleSql {
         |w$s AS (
         |  SELECT w.walk_id,
         |    al.nbrs[CAST(((((w.v % 1000000007) + 1000000007) % 1000000007
-        |      * 2654435761 + ${s.toLong * 40503L}) % 1000000007) % len(al.nbrs) + 1 AS BIGINT)] AS v,
+        |      * 2654435761 + ${s.toLong * 40503L}
+        |      + ((w.walk_id % 1000000007) + 1000000007) % 1000000007 * 69069)
+        |      % 1000000007) % len(al.nbrs) + 1 AS BIGINT)] AS v,
         |    CAST($s AS BIGINT) AS step
         |  FROM w${s - 1} w JOIN al ON al.av = w.v)""".stripMargin)
     }

@@ -188,14 +188,25 @@ object Dedup {
     // aggs) and sets (collect_set for the verify joins) each reduce it once
     // ONE pass hashes the text (explode + rolling hash) into per-doc sets; the
     // signature aggregation then re-explodes the CACHED hash arrays — it never
-    // touches the text again
-    val sets = graft.CacheTracker.persist(setsFromHashes(shingleHashes(docs, k)))
+    // touches the text again.
+    // Both tracked persists are explicitly MEMORY_AND_DISK with their size
+    // estimates logged (round-4 verdict #6): under host memory pressure the
+    // contract is spill-to-disk, never silent recompute of the text scan —
+    // and the persisted volume is observable when a bench run degrades.
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def estMb(df: DataFrame): String = {
+      val b = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (b.isValidLong && b.toLong < (1L << 50)) f"${b.toLong / 1048576.0}%.1f MiB est" else "unknown"
+    }
+    val sets = graft.CacheTracker.persist(setsFromHashes(shingleHashes(docs, k)), level)
     val rehashed = sets.select(col("doc_id"), explode(col("xs")).as("x"))
     // persisted: BOTH sides of the candidate self-join read it — unpersisted,
     // the whole signature aggregation would run twice inside that job
     val banded = graft.CacheTracker.persist(minhashSignaturesFromHashes(rehashed, perms)
       .select(col("doc_id"), posexplode(array((0 until bands).map(bandHash(_, rows)): _*)))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("bh")))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bh")), level)
+    System.err.println(
+      s"[minhash] persisted (MEMORY_AND_DISK): sets ${estMb(sets)}, banded ${estMb(banded)}")
     val candidates = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -102,6 +102,9 @@ object StreamingIngest {
 
   case class DailyEdge(day: java.sql.Date, src: Long, dst: Long)
 
+  /** Name of the [[dailyEdgeStream]] contract-violation accumulator. */
+  val lateDropsAccName = "graft.dailyEdgeStream.lateDrops"
+
   /** Streaming twin of [[graft.Ingest.edgesFromEventsDaily]]: consecutive-user
     * co-occurrence within each (event_type, day) stream, derived incrementally
     * with `flatMapGroupsWithState` — the carried state is the last event plus
@@ -112,13 +115,21 @@ object StreamingIngest {
     * Contract: within a group, events must arrive in event-time order across
     * micro-batches (each batch is sorted internally) — the standard caveat for
     * any sequential-pairing state; the watermark bounds how late data may be.
-    * Stream==batch differential in StreamingSpec. */
+    * A row that VIOLATES the contract — (ts, event_id) behind the state's last
+    * processed event, i.e. admitted by the watermark but arriving in a later
+    * micro-batch — is DROPPED and counted in the `lateDropsAcc` accumulator
+    * (round-4 advice: pairing it against the newer lastUser would silently
+    * diverge from the batch twin; dropping keeps every emitted edge one the
+    * batch derivation also emits, and the count makes violation observable).
+    * Stream==batch differential + late-drop test in StreamingSpec. */
   def dailyEdgeStream(
       spark: SparkSession,
       events: DataFrame,
       watermarkDelay: String = "10 minutes",
-      timeoutMs: Long = 24L * 3600 * 1000): Dataset[DailyEdge] = {
+      timeoutMs: Long = 24L * 3600 * 1000,
+      lateDropsAcc: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[DailyEdge] = {
     import spark.implicits._
+    val lateDrops = lateDropsAcc.getOrElse(spark.sparkContext.longAccumulator(lateDropsAccName))
     events
       .withWatermark("ts", watermarkDelay)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
@@ -132,9 +143,12 @@ object StreamingIngest {
             state.remove()
             Iterator.empty
           } else {
-            val batch = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             val st = state.getOption
               .getOrElse(DailyEdgeState(Long.MinValue, Long.MinValue, Long.MinValue, Set.empty))
+            val (batch, late) = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+              .partition(e => e.ts.getTime > st.lastTs ||
+                (e.ts.getTime == st.lastTs && e.event_id >= st.lastEventId))
+            if (late.nonEmpty) lateDrops.add(late.size.toLong)
             var last = if (st.lastTs == Long.MinValue) None else Some(st.lastUser)
             var emitted = st.emitted
             val out = Seq.newBuilder[DailyEdge]

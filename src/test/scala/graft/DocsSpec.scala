@@ -154,6 +154,42 @@ class DedupSpec extends AnyFunSuite {
     CacheTracker.release(spark)
   }
 
+  test("LSH cluster oracle round budget: 8 min-label rounds reach the exact closure at sf0.01 AND sf0.1") {
+    // The dedup_cluster_canonical_lsh ORACLE unrolls 8 min-label propagation
+    // rounds (OracleSql.dedupClusterCanonicalLsh default — DuckDB's recursive
+    // CTE spilled at sf0.1). This pins the budget: the identical bounded
+    // propagation over the identical pair set (oracle-verified equal) must
+    // already equal the exact Components closure on both verify scales, i.e.
+    // round 8 is a fixpoint, not a truncation.
+    import org.apache.spark.sql.functions.min
+    def minLabelRounds(pairs: org.apache.spark.sql.DataFrame, rounds: Int) = {
+      val ud = pairs.select(col("a").as("u"), col("b").as("w"))
+        .unionAll(pairs.select(col("b").as("u"), col("a").as("w")))
+        .persist()
+      var l = ud.select(col("u").as("v")).distinct().withColumn("l", col("v"))
+        .localCheckpoint(true)
+      for (_ <- 1 to rounds) {
+        val prop = l.as("lt").join(ud.as("ue"), col("lt.v") === col("ue.u"))
+          .select(col("ue.w").as("v"), col("lt.l").as("l"))
+        l = l.unionAll(prop).groupBy("v").agg(min("l").as("l"))
+          .localCheckpoint(true) // keep the unrolled lineage bounded
+      }
+      ud.unpersist()
+      l.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val pairs = Dedup.minhashLshPairs(
+        spark.read.parquet(s"$dir/documents.parquet"), k = 5, threshold = 0.35)
+        .select(col("a"), col("b")).persist()
+      val exact = Components.run(pairs.select(col("a").as("src"), col("b").as("dst")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val bounded = minLabelRounds(pairs, 8)
+      assert(bounded === exact, s"$dir: 8 rounds did not reach the exact closure")
+      pairs.unpersist()
+      CacheTracker.release(spark)
+    }
+  }
+
   test("simhash banded near-dup pairs equal brute force, no cartesian in the plan") {
     // whitespace-only difference (docs 0/1) → identical token stream → hamming 0,
     // so the corpus always has at least one qualifying pair
@@ -460,6 +496,13 @@ class BinaryIngestSpec extends AnyFunSuite {
     val edges = Seq((1L, 0L), (2L, 1L), (3L, 1L), (3L, 2L), (4L, 2L), (4L, 3L),
       (5L, 4L), (5L, 3L), (big, 0L))
     Ingest.writeBinary(TestSpark.edgeDF(edges), dir)
+    // commit protocol: _SUCCESS marker present, no staging dir left behind,
+    // and the marker's bytes never enter the reader's size/8 record count
+    val parent = new java.io.File(dir).getParentFile
+    assert(new java.io.File(dir, "_SUCCESS").exists, "job-commit marker missing")
+    assert(parent.listFiles.forall(!_.getName.startsWith("._staging-")),
+      "staging dir leaked past the commit")
+    assert(Ingest.edgesFromBinary(spark, dir).count() === edges.length.toLong)
     val back = Ingest.edgesFromBinary(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(back.sorted.toSeq === edges.sorted)

@@ -54,6 +54,20 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(at2 === at10.toSeq)
   }
 
+  test("k-core registered budget (k=72, 2 rounds) is a fixpoint at sf0.01 AND sf0.1") {
+    // pins the SparkEntry `kcore_vertices` registration (round-4 verdict watch
+    // item): if a future data refresh needs a deeper peel, this fails loudly
+    // instead of the registered row silently meaning "2 peels", not "the k-core"
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val c = Ingest.edgesFromEvents(spark, dir).persist()
+      def peel(rounds: Int) = GraphCore.kcoreVertices(c, k = 72, maxRounds = rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(peel(2) === peel(3),
+        s"$dir: round 3 is not a no-op — bump the registered maxRounds in SparkEntry")
+      c.unpersist()
+    }
+  }
+
   test("k-core: k above the max degree peels to empty") {
     assert(GraphCore.kcoreVertices(canonical(triPath), k = 5).count() === 0L)
   }
@@ -89,6 +103,29 @@ class GraphOpsSpec extends AnyFunSuite {
     val uncapped = LinkPredict.scores(canonical(star))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(uncapped === Set((0L, 2L), (0L, 3L), (1L, 2L), (2L, 3L), (1L, 3L)))
+  }
+
+  test("link prediction: capped scale twin is a subset of exact, equal where no middle is cut") {
+    val rnd = new scala.util.Random(23)
+    val edges = Seq.fill(600)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+    val c = canonical(edges)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val exact = toMap(LinkPredict.scores(c))
+    val maxDeg = GraphCore.degrees(c).agg(max("deg")).collect().head.getLong(0)
+    // cap at/above the max degree is exactly the exact form
+    assert(toMap(LinkPredict.scores(c, maxMiddleDegree = maxDeg)) === exact)
+    // an active cap: capped candidates ⊆ exact; cn never grows; pairs that lost
+    // no middle (cn equal) keep identical aa and jac
+    val cap = maxDeg / 2
+    val capped = toMap(LinkPredict.scores(c, maxMiddleDegree = cap))
+    assert(capped.nonEmpty && capped.size < exact.size, "cap must be active on this fixture")
+    capped.foreach { case (pair, (cn, aa, jac)) =>
+      val (cnE, aaE, jacE) = exact(pair)
+      assert(cn <= cnE, s"$pair capped cn $cn > exact $cnE")
+      if (cn == cnE) assert(aa == aaE && jac == jacE, s"$pair equal-cn pair drifted")
+    }
   }
 
   test("sampled triangles: rate 100 reproduces the exact count with scale 1") {
@@ -252,7 +289,7 @@ class GraphOpsSpec extends AnyFunSuite {
   test("random walks: valid edges every hop, deterministic, cap-1 degenerates to min-neighbor") {
     val c = canonical(TestSpark.fixtures.nvgraph8)
     val walks = Walks.deterministicWalks(c, steps = 3, startMod = 1)
-      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val byWalk = walks.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
     assert(byWalk.size === 6 && byWalk.values.forall(_.length === 4))
     val sym = GraphCore.symmetric(c).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -261,13 +298,57 @@ class GraphOpsSpec extends AnyFunSuite {
       path.sliding(2).foreach { case Seq(a, b) => assert(sym((a, b)), s"($a,$b) not an edge") }
     }
     val again = Walks.deterministicWalks(c, steps = 3, startMod = 1)
-      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(again === walks.toSet)
     // maxNeighbors = 1 keeps only the smallest neighbor → K3 walk alternates 0,1
     val k3 = Walks.deterministicWalks(canonical(TestSpark.fixtures.tri1),
         steps = 3, startMod = 3, maxNeighbors = 1) // starts: v=0
-      .collect().map(r => (r.getLong(2), r.getLong(1))).sortBy(_._1).map(_._2).toSeq
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).map(_._2).toSeq
     assert(k3 === Seq(0L, 1L, 0L, 1L))
+  }
+
+  test("random walks: walks meeting at the same (vertex, step) do not merge (walk_id in the hash)") {
+    // complete graph K6: every walk visits some shared vertex quickly
+    val k6 = for (i <- 0L to 5L; j <- i + 1 to 5L) yield (i, j)
+    val rows = Walks.deterministicWalks(canonical(k6), steps = 4, startMod = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val at = rows.map { case (g, s, v) => (g, s) -> v }.toMap
+    // collisions: two walks on the same vertex at the same step
+    val collisions = rows.filter(_._2 < 4).groupBy { case (_, s, v) => (s, v) }
+      .values.filter(_.length >= 2).toSeq
+    assert(collisions.nonEmpty, "fixture must produce a meeting — K6 with 6 walks always does")
+    // at least one colliding pair must diverge on its very next step; under the
+    // old (vertex, step)-only hash every pair would provably continue identically
+    val diverged = collisions.exists { grp =>
+      grp.toSeq.combinations(2).exists { case Seq((g1, s, _), (g2, _, _)) =>
+        at((g1, s + 1)) != at((g2, s + 1))
+      }
+    }
+    assert(diverged, "all meeting walks continued identically — walk_id missing from the hash")
+  }
+
+  test("random walks: capped adjacency bounds state before any collect (salted two-phase)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val c = canonical(TestSpark.fixtures.nvgraph8)
+    val cap = 2
+    val adj = Walks.cappedAdjacency(c, cap)
+    // every collect_set/collect_list aggregate that touches raw neighbors must
+    // group by (vertex, salt) — 2+ grouping expressions — so no single reducer
+    // ever buffers an uncapped hub neighborhood
+    val collects = adj.queryExecution.optimizedPlan.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(
+        _.toString.toLowerCase.contains("collect_set")) => a
+    }
+    assert(collects.nonEmpty, "salted phase-1 collect_set missing from the plan")
+    collects.foreach(a => assert(a.groupingExpressions.length >= 2,
+      s"collect_set groups by ${a.groupingExpressions} — unbounded per-key state"))
+    // output arrays respect the cap and equal the direct (unsalted) form
+    val got = adj.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    got.values.foreach(nbrs => assert(nbrs.length <= cap && nbrs == nbrs.sorted))
+    val direct = GraphCore.symmetric(c).groupBy(col("src").as("av"))
+      .agg(slice(sort_array(collect_set(col("dst"))), 1, cap).as("nbrs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got === direct, "two-phase salted cap must equal the direct k-smallest form")
   }
 
   test("harmonic centrality: path-graph golden; per-source min equals multi-source BFS") {

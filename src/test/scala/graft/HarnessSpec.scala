@@ -11,11 +11,30 @@ class HarnessSpec extends AnyFunSuite {
 
   test("Bench.jsonLine: a failed query surfaces as \"err\" and is excluded from the total") {
     val line = Bench.jsonLine(
-      Seq("good" -> Right(1.5), "broken" -> Left("err"), "also_good" -> Right(0.25)),
+      Seq("good" -> Right(Seq(1.5)), "broken" -> Left("err"), "also_good" -> Right(Seq(0.25))),
       "/some/sf", "4")
     assert(line.contains("\"broken\":\"err\""))
     assert(line.contains("\"value\":1.750")) // 1.5 + 0.25, NOT including the failure
     assert(line.contains("\"errors\":1"))
+  }
+
+  test("Bench.jsonLine: best-of-reps scored, every rep emitted, contention self-identifying") {
+    // cold rep-1 cliff (1.7 → 0.3): normal, must NOT trip the flag
+    val cold = Seq("q" -> (Right(Seq(1.7, 0.3)): Either[String, Seq[Double]]))
+    val coldLine = Bench.jsonLine(cold, "/sf", "32", reps = 2, load1Start = 0.5, load1End = 30.0)
+    assert(coldLine.contains("\"q\":0.300") && coldLine.contains("\"q\":[1.700,0.300]"))
+    assert(coldLine.contains("\"contended\":false"),
+      "a slow FIRST rep is the cold-path cliff, not contention")
+    // a slower LATER rep beyond 2× best — the round-4 driver-outlier signature
+    val late = Seq("q" -> (Right(Seq(4.0, 95.0)): Either[String, Seq[Double]]))
+    assert(Bench.jsonLine(late, "/sf", "32", reps = 2, load1Start = 0.5)
+      .contains("\"contended\":true"))
+    // pre-run external load above cpus/4 flags even with clean rep spread
+    val calm = Seq("q" -> (Right(Seq(1.0, 1.0)): Either[String, Seq[Double]]))
+    assert(Bench.jsonLine(calm, "/sf", "32", reps = 2, load1Start = 20.0)
+      .contains("\"contended\":true"))
+    assert(Bench.jsonLine(calm, "/sf", "32", reps = 2, load1Start = 0.5)
+      .contains("\"contended\":false"))
   }
 
   test("Bench.run: unknown query names fail fast instead of silently shrinking the set") {

@@ -160,6 +160,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("daily edge stream: a contract-violating late row is dropped and counted, never mis-paired") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-late").toString
+    val ts = (x: String) => java.sql.Timestamp.valueOf(x)
+    val chunk1 = Seq(
+      (10L, ts("2026-03-01 10:00:00"), 1L, "t"),
+      (11L, ts("2026-03-01 10:01:00"), 2L, "t"))
+    // event 9 is WITHIN the watermark but BEHIND the state's last processed
+    // event — the in-order contract violation. Pairing it against lastUser=2
+    // would emit the bogus (2,7); it must be dropped and counted instead.
+    val chunk2 = Seq(
+      (9L, ts("2026-03-01 10:00:30"), 7L, "t"),
+      (12L, ts("2026-03-01 10:02:00"), 3L, "t"))
+    chunk1.toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING")
+      .parquet(s"$dir/events.parquet")
+    val acc = spark.sparkContext.longAccumulator("test.lateDrops")
+    val q = StreamingIngest.dailyEdgeStream(spark, stream, lateDropsAcc = Some(acc))
+      .toDF()
+      .writeStream.format("memory").queryName("daily_edges_late").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      chunk2.toDF("event_id", "ts", "user_id", "event_type")
+        .write.mode("append").parquet(s"$dir/events.parquet")
+      q.processAllAvailable()
+      val streamed = spark.table("daily_edges_late")
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+      // exactly the in-order subsequence's edges: 1-2 then 2-3; user 7 nowhere
+      assert(streamed === Set(("2026-03-01", 1L, 2L), ("2026-03-01", 2L, 3L)))
+      assert(acc.value === 1L, "the contract violation must be observable")
+    } finally q.stop()
+  }
+
   test("conversation progress: running state counts turns and participants per conversation") {
     val dir = stageTranscripts(10, 6)
     val q = StreamingIngest.conversationProgress(spark,
