@@ -140,8 +140,8 @@ object TriangleCount {
       val budget = resolveMaxBroadcastBytes(adj.sparkSession, maxBroadcastBytes)
       val bytes = adjacencyBytes(adj)
       if (bytes > budget) {
-        val shards = autoShards(bytes, budget)
         val conc = resolvePairConcurrency(adj.sparkSession)
+        val shards = autoShards(bytes, resolveShardBudget(budget, conc))
         System.err.println(s"[TriangleCount] adjacency ≈ $bytes B > broadcast budget $budget B" +
           s" — auto-selecting the per-vertex sharded kernel ($shards shards, $conc pair jobs)")
         return perVertexAdjacencySharded(
@@ -175,10 +175,10 @@ object TriangleCount {
     * session via [[resolveMaxBroadcastBytes]]. */
   val AutoBroadcastBytes: Long = -1L
 
-  /** Floor of the auto-derived broadcast budget — and the fixed default when the
-    * session carries no sizing information (2 GiB: a quarter of Spark's own
-    * 8 GiB broadcast-table hard limit, sized so two adjacency blocks plus the
-    * build-side hash maps fit a typical executor). */
+  /** Cap of the auto-derived broadcast budget when the session carries no
+    * executor sizing (2 GiB: a quarter of Spark's own 8 GiB broadcast-table
+    * hard limit, sized so two adjacency blocks plus the build-side hash maps
+    * fit a typical executor). */
   val defaultMaxBroadcastBytes: Long = 2L << 30
 
   /** Pair jobs in flight when an auto-selected sharded kernel runs — each job is
@@ -195,23 +195,59 @@ object TriangleCount {
     * explicit non-negative argument > session conf `spark.graft.maxBroadcastBytes`
     * (size string, e.g. "512m") > derived from `spark.executor.memory` ×
     * `spark.memory.fraction` × 1/4 (two blocks + two broadcast hash maps live per
-    * pair job), floored at [[defaultMaxBroadcastBytes]] so a small or unset
-    * executor conf (e.g. local mode, where the driver JVM is the executor) never
-    * collapses the budget below the known-good constant. */
+    * pair job), capped at [[defaultMaxBroadcastBytes]]. When the session carries
+    * NO executor sizing (local mode — the driver JVM is the executor), the
+    * basis is the ACTUAL runtime heap, not a fixed floor: round 5 found the
+    * old 2 GiB floor auto-selecting a ~1.2 GB adjacency broadcast inside an
+    * 8 GB local JVM that could not hold the relation plus the persisted edge
+    * table — exactly the OOM the auto-select exists to prevent. A budget
+    * derived from `Runtime.maxMemory` degrades to the sharded kernel instead.
+    *
+    * The derived budget is additionally bounded by 3/4 of
+    * `spark.driver.maxResultSize` (default 1g; 0 = unlimited): building a
+    * broadcast relation COLLECTS it to the driver through task results, so any
+    * relation whose serialized size exceeds maxResultSize aborts the job no
+    * matter how much executor memory exists — round 5 measured exactly that
+    * (1056.4 MiB of task results vs the 1024 MiB default) on a 141M-edge
+    * adjacency that passed the heap-derived budget. The 3/4 margin covers
+    * Catalyst's size estimate vs the serialized task-result bytes disagreeing
+    * in either direction. Explicit overrides (argument / session conf) are
+    * honored as given — they are the operator's own knob. */
   private[graft] def resolveMaxBroadcastBytes(spark: SparkSession, requested: Long): Long = {
     if (requested >= 0) return requested
     spark.conf.getOption("spark.graft.maxBroadcastBytes") match {
       case Some(s) => org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)
       case None =>
-        val execMem =
-          try spark.sparkContext.getConf.getSizeAsBytes("spark.executor.memory", 0L)
-          catch { case _: Throwable => 0L }
+        val execMem = {
+          val conf =
+            try spark.sparkContext.getConf.getSizeAsBytes("spark.executor.memory", 0L)
+            catch { case _: Throwable => 0L }
+          if (conf > 0L) conf else Runtime.getRuntime.maxMemory
+        }
         val frac =
           try spark.sparkContext.getConf.getDouble("spark.memory.fraction", 0.6)
           catch { case _: Throwable => 0.6 }
-        math.max(defaultMaxBroadcastBytes, (execMem * frac / 4).toLong)
+        val maxResult =
+          try spark.sparkContext.getConf.getSizeAsBytes("spark.driver.maxResultSize", "1g")
+          catch { case _: Throwable => 1L << 30 }
+        val resultCap = if (maxResult > 0L) maxResult * 3 / 4 else Long.MaxValue
+        math.min(math.min(defaultMaxBroadcastBytes, resultCap), (execMem * frac / 4).toLong)
     }
   }
+
+  /** Block budget for the SHARDED path's `autoShards` sizing. The broadcast-mode
+    * budget assumes two resident copies of the relation (adjU + adjV, each
+    * roughly doubled in memory by the broadcast build — hence the /4 in
+    * [[resolveMaxBroadcastBytes]]); a pair-job pool instead holds
+    * `concurrency × 2` block broadcasts live, so the per-pair block budget must
+    * shrink by concurrency/2 or the pool overcommits the same heap the budget
+    * was derived from. Round 5 measured exactly that: 3 shards × 4 pool jobs =
+    * 8 live ~380 MB block broadcasts OOMing the 8 GB JVM whose budget said the
+    * plan fit. Explicit `spark.graft.maxBroadcastBytes` overrides flow through
+    * here too — the invariant is about what is RESIDENT, not how the budget was
+    * chosen. */
+  private[graft] def resolveShardBudget(budget: Long, concurrency: Int): Long =
+    math.max(1L, budget / math.max(1, concurrency / 2))
 
   /** Shard cap: bounds the ≤ shards² pair-job count (the reference's split
     * kernel enumerates the same split_num² chunk pairs, main.cpp:87-90). */
@@ -316,9 +352,9 @@ object TriangleCount {
       val budget = resolveMaxBroadcastBytes(spark, maxBroadcastBytes)
       val bytes = adjacencyBytes(adj)
       if (bytes > budget) {
-        // two blocks are live per pair job; size k so both fit the threshold
-        val shards = autoShards(bytes, budget)
+        // 2 blocks live per pair job × pool width: size k to the POOL budget
         val conc = resolvePairConcurrency(spark)
+        val shards = autoShards(bytes, resolveShardBudget(budget, conc))
         System.err.println(s"[TriangleCount] adjacency ≈ $bytes B > broadcast budget $budget B" +
           s" — auto-selecting the sharded kernel ($shards shards, $conc pair jobs in flight)")
         return globalAdjacencySharded(spark, oriented, adj, shards, concurrency = conc)

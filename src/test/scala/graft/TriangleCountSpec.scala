@@ -171,7 +171,7 @@ class TriangleCountSpec extends AnyFunSuite {
     assert(executed.get() < 41, "queued jobs after the failure must be dropped")
   }
 
-  test("broadcast budget: explicit > session conf > derived-with-floor") {
+  test("broadcast budget: explicit > session conf > derived-with-cap") {
     // explicit argument wins
     assert(TriangleCount.resolveMaxBroadcastBytes(spark, 123L) === 123L)
     // session conf (size string) overrides the derivation
@@ -179,9 +179,19 @@ class TriangleCountSpec extends AnyFunSuite {
     try assert(TriangleCount.resolveMaxBroadcastBytes(spark, TriangleCount.AutoBroadcastBytes)
       === 512L * 1024 * 1024)
     finally spark.conf.unset("spark.graft.maxBroadcastBytes")
-    // no conf: local session's executor memory is small/unset → floor applies
-    assert(TriangleCount.resolveMaxBroadcastBytes(spark, TriangleCount.AutoBroadcastBytes)
-      >= TriangleCount.defaultMaxBroadcastBytes)
+    // no conf, no executor sizing (local mode): the basis is the ACTUAL runtime
+    // heap (× memory.fraction / 4), never above the 2 GiB cap (a fixed 2 GiB
+    // floor inside an 8 GiB JVM is the round-5 OOM this derivation replaces)
+    // and never above 3/4 of driver.maxResultSize (the broadcast build collects
+    // the relation to the driver — round 5 measured the abort past that limit)
+    val derived = TriangleCount.resolveMaxBroadcastBytes(spark, TriangleCount.AutoBroadcastBytes)
+    val sc = spark.sparkContext.getConf
+    val frac = sc.getDouble("spark.memory.fraction", 0.6)
+    val maxResult = sc.getSizeAsBytes("spark.driver.maxResultSize", "1g")
+    val resultCap = if (maxResult > 0L) maxResult * 3 / 4 else Long.MaxValue
+    assert(derived === math.min(math.min(TriangleCount.defaultMaxBroadcastBytes, resultCap),
+      (Runtime.getRuntime.maxMemory * frac / 4).toLong))
+    assert(derived > 0L)
     // pool width: conf override > constant default
     assert(TriangleCount.resolvePairConcurrency(spark) === TriangleCount.defaultPairConcurrency)
     spark.conf.set("spark.graft.pairConcurrency", "7")
@@ -211,6 +221,24 @@ class TriangleCountSpec extends AnyFunSuite {
     assert(TriangleCount.autoShards(10L << 30, 2L << 30) === 10)
     assert(TriangleCount.autoShards(100L, 2L << 30) === 2) // floor of 2
     assert(TriangleCount.autoShards(Long.MaxValue / 4, 2L << 30) === 1024) // capped + warns
+  }
+
+  test("shard budget shrinks with pool width: concurrency×2 blocks stay within the derived heap share") {
+    // broadcast-mode budget assumes 2 resident copies; a pool holds conc×2
+    // blocks, so the per-pair block budget divides by conc/2 (round-5 OOM:
+    // 3 shards × 4 pool jobs = 8 live blocks against a /4-derived budget)
+    val b = 1L << 30
+    assert(TriangleCount.resolveShardBudget(b, 1) === b)
+    assert(TriangleCount.resolveShardBudget(b, 2) === b)
+    assert(TriangleCount.resolveShardBudget(b, 4) === b / 2)
+    assert(TriangleCount.resolveShardBudget(b, 8) === b / 4)
+    // end-to-end: shards sized against budget/(conc/2), so resident bytes
+    // (conc × 2 × bytes/shards) never exceed 2× the broadcast-mode budget —
+    // the same heap share two full broadcast copies would have used
+    val bytes = 10L << 30
+    val conc = 4
+    val shards = TriangleCount.autoShards(bytes, TriangleCount.resolveShardBudget(b, conc))
+    assert(conc * 2 * (bytes / shards) <= 2 * b)
   }
 
   test("edge support: per-edge counts on nvgraph8, zero rows kept, sum equals the global count") {
