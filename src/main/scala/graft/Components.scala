@@ -21,8 +21,20 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
-  /** Exact component labels via large-star/small-star. Output (v, component). */
-  def run(canonical: DataFrame, maxRounds: Int = 50): DataFrame = {
+  /** Exact component labels via large-star/small-star. Output (v, component).
+    *
+    * `largeStarForm` selects the large-star physical form: `"window"` (default
+    * — the partition-by-src window min, measured fastest at every hub size up
+    * to 8M, BENCH.md §hub-skew) or `"agg"` (the map-side-combinable
+    * groupBy-min + rejoin twin, [[largeStarAgg]]'s plan — the escape for the
+    * regime where one hub's neighborhood exceeds a task; raced at the
+    * 141M-edge input per round-5 verdict #2, numbers in BENCH.md). Results are
+    * identical (differential-tested); the agg form persists each round's
+    * symmetrized edge set for its two passes and drops it as soon as the
+    * round's checksum materializes. */
+  def run(canonical: DataFrame, maxRounds: Int = 50, largeStarForm: String = "window"): DataFrame = {
+    require(largeStarForm == "window" || largeStarForm == "agg",
+      s"unknown largeStarForm '$largeStarForm' (window | agg)")
     // Internal representation: every edge directed (src, dst) with src > dst.
     var edges = canonical
       .select(greatest(col("src"), col("dst")).as("src"),
@@ -37,8 +49,15 @@ object Components {
       // round is one chained plan with one lineage-truncating checkpoint; the
       // checkpoint is LAZY so the convergence checksum materializes it in the same
       // job — one job per round, not a materialize-then-checksum pair
-      edges = smallStar(largeStar(edges)).localCheckpoint(false)
-      val cur = checksum(edges)
+      val roundSym =
+        if (largeStarForm == "agg")
+          Some(edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        else None
+      val ls = roundSym.map(largeStarAggOn).getOrElse(largeStar(edges))
+      edges = smallStar(ls).localCheckpoint(false)
+      val cur = checksum(edges) // materializes the round; roundSym no longer needed
+      roundSym.foreach(_.unpersist(false))
       converged = cur == prev
       prev = cur
       round += 1
@@ -111,9 +130,15 @@ object Components {
     * twice (persisted) and one extra shuffle join. Same output — differential
     * test in ComponentsSpec; measured numbers in BENCH.md §hub-skew decide
     * which form [[run]] uses. */
-  private[graft] def largeStarAgg(edges: DataFrame): DataFrame = {
-    val sym = CacheTracker.persist(
-      edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst"))))
+  private[graft] def largeStarAgg(edges: DataFrame): DataFrame =
+    largeStarAggOn(CacheTracker.persist(
+      edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))))
+
+  /** [[largeStarAgg]]'s plan over a caller-persisted symmetrized edge set —
+    * [[run]]'s agg form persists per round and unpersists as soon as the
+    * round's checksum materializes (a tracker persist per round would
+    * accumulate across a convergence run). */
+  private[graft] def largeStarAggOn(sym: DataFrame): DataFrame = {
     val mins = sym.groupBy("src").agg(min(col("dst")).as("m"))
       .select(col("src"), least(col("m"), col("src")).as("mn"))
     sym.join(mins, "src")

@@ -304,7 +304,10 @@ object Ingest {
       // bytes are not edge records and must not enter the size/8 count
       .filterNot { st =>
         val n = st.getPath.getName
-        n.startsWith("_") || n.startsWith(".")
+        // ".attempt-" belt-and-braces beyond the hidden prefix (round-5 advice):
+        // a zombie attempt file must never enter the size/8 edge count even if
+        // some external tool copied it to a visible name
+        n.startsWith("_") || n.startsWith(".") || n.contains(".attempt-")
       }
     val recsPerSplit = math.max(splitBytes / 8, 1L)
     val splits = files.toSeq.flatMap { st =>
@@ -370,10 +373,12 @@ object Ingest {
     * size/8 semantics would silently accept a partial directory as a valid
     * truncated graph):
     *  1. tasks write into a hidden staging dir beside the target, each attempt
-    *     to its OWN `part-NNNNN.bin.attempt-K` file, renamed to the final part
-    *     name on task success (rename is the atomic primitive; a losing
-    *     speculative/retried attempt finds the name taken — identical bytes,
-    *     deterministic partition — and discards its own file);
+    *     to its OWN hidden `.part-NNNNN.bin.attempt-K` file, renamed to the
+    *     final part name on task success (rename is the atomic primitive; a
+    *     losing speculative/retried attempt finds the name taken — identical
+    *     bytes, deterministic partition — and discards its own file; the
+    *     hidden attempt name means even a zombie attempt finishing after the
+    *     job-commit sweep leaves a file the reader's filter skips);
     *  2. only after the job succeeds: `_SUCCESS` marker, then delete the old
     *     target and rename staging → target.
     * A failure at ANY earlier point leaves the previous output untouched and
@@ -399,51 +404,83 @@ object Ingest {
             val tc = org.apache.spark.TaskContext.get()
             val pid = org.apache.spark.TaskContext.getPartitionId()
             val attempt = Option(tc).map(_.attemptNumber()).getOrElse(0)
-            val taskFs = staging.getFileSystem(confBc.value.value)
-            val tmp = new org.apache.hadoop.fs.Path(
-              f"$stagingStr/part-$pid%05d.bin.attempt-$attempt")
-            val fin = new org.apache.hadoop.fs.Path(f"$stagingStr/part-$pid%05d.bin")
-            val out = new java.io.BufferedOutputStream(taskFs.create(tmp, true), 8 << 20)
-            try {
-              val rec = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-              rows.foreach { r =>
-                val (u, v) = (r.getLong(0), r.getLong(1))
-                require(u >= 0L && u <= 0xFFFFFFFFL && v >= 0L && v <= 0xFFFFFFFFL,
-                  s"edge ($u,$v) outside the reference's uint32 id domain")
-                rec.clear()
-                rec.putInt((u & 0xFFFFFFFFL).toInt).putInt((v & 0xFFFFFFFFL).toInt)
-                out.write(rec.array())
-              }
-            } finally out.close()
-            // task commit: atomic rename to the final part name; if another
-            // attempt of this partition already committed, keep its (byte-
-            // identical) file and drop ours
-            if (!taskFs.rename(tmp, fin)) {
-              if (!taskFs.exists(fin))
-                throw new java.io.IOException(s"commit rename failed for $fin")
-              taskFs.delete(tmp, false)
-            }
+            val taskFs = new org.apache.hadoop.fs.Path(stagingStr)
+              .getFileSystem(confBc.value.value)
+            writeTaskFile(taskFs, stagingStr, pid, attempt, rows)
           }
           ()
         }
-      // job commit: sweep any orphaned attempt files first (a task that died
-      // AFTER writing but BEFORE its rename leaves one; its successful retry
-      // committed the real part) — they must not reach the target's size/8 sum
-      fs.listStatus(staging).foreach { st =>
-        if (st.getPath.getName.contains(".attempt-")) fs.delete(st.getPath, false)
-      }
-      // marker next (staging is complete), then swap directories
-      fs.create(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"), true).close()
-      // overwrite semantics: a previous run with MORE partitions would
-      // otherwise leave stale part files behind — and the reader's size/8 sum
-      // would silently count them as extra edges
-      fs.delete(dir, true)
-      if (!fs.rename(staging, dir))
-        throw new java.io.IOException(s"final rename $staging -> $dir failed")
+      commitStaging(fs, staging, dir)
     } finally {
       // failure on any path above: the staging dir (not the previous output)
       // is what gets discarded
       if (fs.exists(staging)) fs.delete(staging, true)
     }
+  }
+
+  /** One task attempt of the binary sink: stream `rows` into this attempt's OWN
+    * hidden file, then atomically rename it to the final part name (task
+    * commit). `commitRename = false` is the failure-injection hook — it models
+    * a task that died AFTER writing its bytes but BEFORE its rename (the
+    * orphan [[commitStaging]]'s sweep must remove). Attempt files carry a
+    * HIDDEN name (round-5 advice): a zombie/speculative attempt finishing
+    * between the job-commit sweep and the staging→target rename leaves a file
+    * [[edgesFromBinary]]'s filter already skips, instead of stray bytes in the
+    * size/8 count. */
+  private[graft] def writeTaskFile(
+      taskFs: org.apache.hadoop.fs.FileSystem,
+      stagingStr: String,
+      pid: Int,
+      attempt: Int,
+      rows: Iterator[org.apache.spark.sql.Row],
+      commitRename: Boolean = true): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(
+      f"$stagingStr/.part-$pid%05d.bin.attempt-$attempt")
+    val fin = new org.apache.hadoop.fs.Path(f"$stagingStr/part-$pid%05d.bin")
+    val out = new java.io.BufferedOutputStream(taskFs.create(tmp, true), 8 << 20)
+    try {
+      val rec = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      rows.foreach { r =>
+        val (u, v) = (r.getLong(0), r.getLong(1))
+        require(u >= 0L && u <= 0xFFFFFFFFL && v >= 0L && v <= 0xFFFFFFFFL,
+          s"edge ($u,$v) outside the reference's uint32 id domain")
+        rec.clear()
+        rec.putInt((u & 0xFFFFFFFFL).toInt).putInt((v & 0xFFFFFFFFL).toInt)
+        out.write(rec.array())
+      }
+    } finally out.close()
+    if (commitRename) {
+      // task commit: atomic rename to the final part name; if another attempt
+      // of this partition already committed, keep its (byte-identical) file
+      // and drop ours
+      if (!taskFs.rename(tmp, fin)) {
+        if (!taskFs.exists(fin))
+          throw new java.io.IOException(s"commit rename failed for $fin")
+        taskFs.delete(tmp, false)
+      }
+    }
+  }
+
+  /** Job commit of the binary sink: sweep orphaned attempt files (a task that
+    * died AFTER writing but BEFORE its rename leaves one; its successful retry
+    * committed the real part — the orphan must not reach the target's size/8
+    * sum), write the `_SUCCESS` marker, then swap staging → target. The only
+    * non-atomic window is delete-target→rename-staging, which leaves NO target
+    * — a loud missing-directory error, never a silent truncation. */
+  private[graft] def commitStaging(
+      fs: org.apache.hadoop.fs.FileSystem,
+      staging: org.apache.hadoop.fs.Path,
+      dir: org.apache.hadoop.fs.Path): Unit = {
+    fs.listStatus(staging).foreach { st =>
+      if (st.getPath.getName.contains(".attempt-")) fs.delete(st.getPath, false)
+    }
+    // marker next (staging is complete), then swap directories
+    fs.create(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"), true).close()
+    // overwrite semantics: a previous run with MORE partitions would
+    // otherwise leave stale part files behind — and the reader's size/8 sum
+    // would silently count them as extra edges
+    fs.delete(dir, true)
+    if (!fs.rename(staging, dir))
+      throw new java.io.IOException(s"final rename $staging -> $dir failed")
   }
 }

@@ -475,10 +475,11 @@ object OracleSql {
          |pud AS MATERIALIZED (
          |  SELECT a AS u, b AS w FROM p UNION ALL SELECT b AS u, a AS w FROM p),
          |l0 AS (SELECT u AS v, u AS l FROM (SELECT DISTINCT u FROM pud))""".stripMargin)
-    for (r <- 0 until rounds) {
+    for (r <- 0 to rounds) {
       // each round references the previous one TWICE — MATERIALIZED is load-
       // bearing (plain CTEs inline, doubling the plan per round: 2^rounds
-      // copies by round 8, the very spill this form exists to remove)
+      // copies by round 8, the very spill this form exists to remove).
+      // One round PAST the budget (l${rounds+1}) exists only for the guard.
       sb.append(s""",
         |l${r + 1} AS MATERIALIZED (
         |  SELECT v, min(l) AS l FROM (
@@ -487,9 +488,23 @@ object OracleSql {
         |    SELECT pud.w AS v, l$r.l FROM l$r JOIN pud ON pud.u = l$r.v)
         |  GROUP BY v)""".stripMargin)
     }
+    // Budget guard (round-5 advice): the `rounds` budget is pinned empirically;
+    // a future corpus with an LSH cluster of min-vertex eccentricity > rounds
+    // would make the oracle itself under-merge and misattribute the mismatch to
+    // the engine. One extra unrolled round + this fixpoint check turns that
+    // into a LOUD 'oracle budget exceeded' error instead of an engine diff.
+    sb.append(s""",
+       |budget_guard AS (
+       |  SELECT CASE WHEN (SELECT count(*) FROM l$rounds a
+       |                    JOIN l${rounds + 1} b ON a.v = b.v AND a.l <> b.l) = 0
+       |         THEN 1
+       |         ELSE error('oracle min-label budget exceeded: $rounds rounds is not a fixpoint')
+       |         END AS ok)""".stripMargin)
     sb.append(s"""
        |SELECT d.doc_id, coalesce(m.l, d.doc_id) AS canonical_id
-       |FROM documents d LEFT JOIN l$rounds m ON m.v = d.doc_id""".stripMargin)
+       |FROM documents d CROSS JOIN budget_guard g
+       |LEFT JOIN l$rounds m ON m.v = d.doc_id
+       |WHERE g.ok = 1""".stripMargin)
     sb.toString
   }
 

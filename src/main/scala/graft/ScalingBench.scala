@@ -55,6 +55,9 @@ object ScalingBench {
       }),
       "pagerank_5iter" -> (() => PageRank.fixedIterations(edges, 5)),
       "components" -> (() => Components.run(edges)),
+      // the hub-skew twin raced at the 141M input (round-5 verdict #2): the
+      // map-side-combinable groupBy-min form vs the window form above
+      "components_agg" -> (() => Components.run(edges, largeStarForm = "agg")),
       "lpa_2step" -> (() => LabelProp.run(edges, 2)),
       // round-4 kernels on the same input: BFS moves only the vertex-sized
       // distance table per round; weighted PageRank derives synthetic

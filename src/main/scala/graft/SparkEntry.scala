@@ -502,13 +502,17 @@ object SparkEntry {
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the same
-    * parquet tables. Omitted keys get a weaker rows-only check.
+    * parquet tables. Omitted keys get a weaker rows-only check — currently NONE
+    * (85/85 oracled).
     *
-    * Deliberately omitted (documented impossibility + stronger in-repo test):
-    *  - `pagerank_converged`: the stopping iteration is data-dependent and DuckDB
-    *    recursive CTEs cannot aggregate in the recursive term; differentially
-    *    tested against `fixedIterations` (stability under extra iterations,
-    *    Σpr = 1) in PageRankSpec, and pinned against a committed golden file.
+    * `pagerank_converged`'s stopping iteration is data-dependent, but at a fixed
+    * sf it is a measurable constant: k* = 4 at BOTH sf0.01 and sf0.1 (measured
+    * delta series — d3 ≥ 1.9×tol, d4 ≤ 0.64×tol at both scales, so no
+    * cross-engine float jitter can flip the stopping rule), hence the oracle is
+    * `pagerankFixed(4)`. IterativeKernelsSpec pins that k* = 4 really is the
+    * convergence iteration at both scales (d4 < 1e-6 ≤ d3 and
+    * run == fixedIterations(4) row-exact), so a testdata regen that moved k*
+    * fails the spec loudly instead of surfacing as an engine-vs-oracle diff.
     *
     * `frame_sample`'s oracle checks frame lengths; the frame bytes themselves are
     * payload substrings by construction (MultimodalSpec slices them back). */
@@ -596,6 +600,7 @@ object SparkEntry {
     "link_prediction_scalable" -> OracleSql.linkPredictionSql(Some(90L)),
     "butterflies_global" -> OracleSql.butterfliesGlobal,
     "butterflies_per_user" -> OracleSql.butterfliesPerUser,
-    "contamination_scan" -> OracleSql.contamination(5, 11, 0.5)
+    "contamination_scan" -> OracleSql.contamination(5, 11, 0.5),
+    "pagerank_converged" -> OracleSql.pagerankFixed(4)
   )
 }

@@ -247,7 +247,10 @@ object TriangleCount {
     * here too — the invariant is about what is RESIDENT, not how the budget was
     * chosen. */
   private[graft] def resolveShardBudget(budget: Long, concurrency: Int): Long =
-    math.max(1L, budget / math.max(1, concurrency / 2))
+    // CEILING division of the pool width (round-5 advice): floor let odd widths
+    // overshoot the documented ≤2×-budget resident bound (concurrency 3 left
+    // the budget undivided → ~3× resident; 7 gave ~2.33×)
+    math.max(1L, budget / math.max(1, (concurrency + 1) / 2))
 
   /** Shard cap: bounds the ≤ shards² pair-job count (the reference's split
     * kernel enumerates the same split_num² chunk pairs, main.cpp:87-90). */
@@ -531,10 +534,32 @@ object TriangleCount {
     * two-pointer merge as [[globalAdjacency]], minus the final reduce; left
     * joins because a dst with out-degree 0 has no adjacency row (support 0).
     * Output (src, dst, support). */
-  def edgeSupport(spark: SparkSession, oriented: DataFrame, adj: DataFrame): DataFrame = {
+  def edgeSupport(
+      spark: SparkSession,
+      oriented: DataFrame,
+      adj: DataFrame,
+      broadcastAdj: Boolean = true,
+      maxBroadcastBytes: Long = AutoBroadcastBytes): DataFrame = {
     SortedIntersectCount.register(spark)
-    val adjU = broadcast(adj.select(col("v").as("src"), col("nbrs").as("nbrs_u")))
-    val adjV = broadcast(adj.select(col("v").as("dst"), col("nbrs").as("nbrs_v")))
+    if (broadcastAdj) {
+      // same auto-select contract as [[globalAdjacency]] (round-5 verdict #1:
+      // the per-edge family was the only kernel left that broadcast the full
+      // CSR unconditionally — the exact shape the 141M run proved aborts on
+      // maxResultSize at ~1.14 GB adjacency)
+      ensurePersisted(adj)
+      val budget = resolveMaxBroadcastBytes(spark, maxBroadcastBytes)
+      val bytes = adjacencyBytes(adj)
+      if (bytes > budget) {
+        val conc = resolvePairConcurrency(spark)
+        val shards = autoShards(bytes, resolveShardBudget(budget, conc))
+        System.err.println(s"[TriangleCount] adjacency ≈ $bytes B > broadcast budget $budget B" +
+          s" — auto-selecting the edge-support sharded kernel ($shards shards, $conc pair jobs)")
+        return edgeSupportSharded(spark, oriented, adj, shards, concurrency = conc)
+      }
+    }
+    def side(a: DataFrame) = if (broadcastAdj) broadcast(a) else a
+    val adjU = side(adj.select(col("v").as("src"), col("nbrs").as("nbrs_u")))
+    val adjV = side(adj.select(col("v").as("dst"), col("nbrs").as("nbrs_v")))
     oriented
       .join(adjU, Seq("src"), "left")
       .join(adjV, Seq("dst"), "left")
@@ -545,6 +570,65 @@ object TriangleCount {
           .as("support"))
   }
 
+  /** Out-of-core per-edge support — the sharded-broadcast twin of [[edgeSupport]],
+    * same 2D chunk-pair tiling as [[globalAdjacencySharded]] (gpu.cu:27-58's
+    * split kernel, per round-5 verdict #1). Every oriented edge lives in exactly
+    * ONE block pair, so the pair partials are DISJOINT (src, dst, support) sets:
+    * the merge is a plain union of per-pair `localCheckpoint`ed partials — no
+    * re-aggregation, unlike the overlapping credits of
+    * [[perVertexAdjacencySharded]]. Edges whose dst has no adjacency row drop
+    * from the block tagging and re-enter with support 0 through the final left
+    * join — the same rows the broadcast form's left joins produce. */
+  def edgeSupportSharded(
+      spark: SparkSession,
+      oriented: DataFrame,
+      adj: DataFrame,
+      shards: Int,
+      concurrency: Int = 1): DataFrame = {
+    require(shards >= 1, "shards must be positive")
+    require(concurrency >= 1, "concurrency must be positive")
+    SortedIntersectCount.register(spark)
+    val blocks = GraphCore.csrBlocks(adj, shards).select(col("v"), col("block"))
+    val adjB = CacheTracker.persist(adj.join(blocks, "v").select(col("v"), col("nbrs"), col("block")))
+    val eB = CacheTracker.persist(oriented
+      .join(blocks.select(col("v").as("src"), col("block").as("bs")), "src")
+      .join(blocks.select(col("v").as("dst"), col("block").as("bd")), "dst")
+      .select(col("src"), col("dst"), col("bs"), col("bd")))
+    val present = eB.groupBy("bs", "bd").agg(count(lit(1)))
+      .select(col("bs"), col("bd")).collect() // ≤ shards² coordinates — tiny
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(identity)
+    val partials = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    runPairJobs(spark, concurrency, present.toSeq.map { case (i, j) => () =>
+      partials.add(pairSupport(eB, adjB, i, j).localCheckpoint(true)): Unit
+    })
+    import scala.jdk.CollectionConverters._
+    val sup = partials.asScala.toSeq match {
+      case Nil =>
+        import spark.implicits._
+        Seq.empty[(Long, Long, Long)].toDF("src", "dst", "support")
+      case ps => ps.reduce(_ unionAll _)
+    }
+    oriented
+      .join(sup.withColumnRenamed("support", "s"), Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"), coalesce(col("s"), lit(0L)).as("support"))
+  }
+
+  /** One chunk-pair support partial: (src, dst, support) for block pair (i, j)'s
+    * edges — zero-support rows kept (no filter), so the union of partials covers
+    * every tagged edge exactly once. */
+  private[graft] def pairSupport(eB: DataFrame, adjB: DataFrame, i: Long, j: Long): DataFrame = {
+    val aU = broadcast(adjB.where(col("block") === i)
+      .select(col("v").as("src"), col("nbrs").as("nbrs_u")))
+    val aV = broadcast(adjB.where(col("block") === j)
+      .select(col("v").as("dst"), col("nbrs").as("nbrs_v")))
+    eB.where(col("bs") === i && col("bd") === j)
+      .join(aU, "src")
+      .join(aV, "dst")
+      .select(col("src"), col("dst"),
+        call_function(SortedIntersectCount.name, col("nbrs_u"), col("nbrs_v")).as("support"))
+  }
+
   /** Per-edge triangle MEMBERSHIP counts — each triangle {u,v,w} credits ALL
     * THREE of its edges (Σ tri_cnt = 3·triangles), unlike [[edgeSupport]]'s
     * base-edge counts (Σ = triangles). This is the k-truss peel criterion.
@@ -552,9 +636,29 @@ object TriangleCount {
     * edge (u,v) credit (u,v), (u,w) and (v,w) — all of them oriented edges, so
     * the credit aggregation stays on the oriented table. Zero rows included.
     * Output (src, dst, tri_cnt). */
-  def edgeTriangleCounts(spark: SparkSession, oriented: DataFrame, adj: DataFrame): DataFrame = {
-    val adjU = broadcast(adj.select(col("v").as("src"), col("nbrs").as("nbrs_u")))
-    val adjV = broadcast(adj.select(col("v").as("dst"), col("nbrs").as("nbrs_v")))
+  def edgeTriangleCounts(
+      spark: SparkSession,
+      oriented: DataFrame,
+      adj: DataFrame,
+      broadcastAdj: Boolean = true,
+      maxBroadcastBytes: Long = AutoBroadcastBytes): DataFrame = {
+    if (broadcastAdj) {
+      // same auto-select contract as [[globalAdjacency]]; [[ktrussEdges]]
+      // inherits the escape per peel round through this probe
+      ensurePersisted(adj)
+      val budget = resolveMaxBroadcastBytes(spark, maxBroadcastBytes)
+      val bytes = adjacencyBytes(adj)
+      if (bytes > budget) {
+        val conc = resolvePairConcurrency(spark)
+        val shards = autoShards(bytes, resolveShardBudget(budget, conc))
+        System.err.println(s"[TriangleCount] adjacency ≈ $bytes B > broadcast budget $budget B" +
+          s" — auto-selecting the edge-credit sharded kernel ($shards shards, $conc pair jobs)")
+        return edgeTriangleCountsSharded(spark, oriented, adj, shards, concurrency = conc)
+      }
+    }
+    def side(a: DataFrame) = if (broadcastAdj) broadcast(a) else a
+    val adjU = side(adj.select(col("v").as("src"), col("nbrs").as("nbrs_u")))
+    val adjV = side(adj.select(col("v").as("dst"), col("nbrs").as("nbrs_v")))
     val withW = CacheTracker.persist(oriented
       .join(adjU, "src")
       .join(adjV, "dst")
@@ -569,6 +673,73 @@ object TriangleCount {
     oriented
       .join(credits, Seq("src", "dst"), "left")
       .select(col("src"), col("dst"), coalesce(col("cnt"), lit(0L)).as("tri_cnt"))
+  }
+
+  /** Out-of-core per-edge membership counts — the sharded-broadcast twin of
+    * [[edgeTriangleCounts]]. Unlike [[edgeSupportSharded]]'s disjoint partials,
+    * a base edge (u,v) in pair (bs(u), bs(v)) credits edges (u,w) and (v,w)
+    * that may live in OTHER block pairs, so credits overlap across pairs: the
+    * merge is the same rolling re-aggregated accumulator as
+    * [[perVertexAdjacencySharded]] (credits are sums — associative-commutative,
+    * completion order cannot change the result), edge-keyed instead of
+    * vertex-keyed. Resident state per moment: concurrency × 2 adjacency blocks
+    * plus one edge-sized count table. */
+  def edgeTriangleCountsSharded(
+      spark: SparkSession,
+      oriented: DataFrame,
+      adj: DataFrame,
+      shards: Int,
+      concurrency: Int = 1): DataFrame = {
+    require(shards >= 1, "shards must be positive")
+    require(concurrency >= 1, "concurrency must be positive")
+    val blocks = GraphCore.csrBlocks(adj, shards).select(col("v"), col("block"))
+    val adjB = CacheTracker.persist(adj.join(blocks, "v").select(col("v"), col("nbrs"), col("block")))
+    val eB = CacheTracker.persist(oriented
+      .join(blocks.select(col("v").as("src"), col("block").as("bs")), "src")
+      .join(blocks.select(col("v").as("dst"), col("block").as("bd")), "dst")
+      .select(col("src"), col("dst"), col("bs"), col("bd")))
+    val present = eB.groupBy("bs", "bd").agg(count(lit(1)))
+      .select(col("bs"), col("bd")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(identity)
+    var acc: DataFrame = null
+    val lock = new Object
+    runPairJobs(spark, concurrency, present.toSeq.map { case (i, j) => () =>
+      val credits = pairEdgeCredits(eB, adjB, i, j).localCheckpoint(true)
+      lock.synchronized {
+        acc = if (acc == null) credits
+          else acc.unionAll(credits).groupBy("src", "dst").agg(sum(col("cnt")).as("cnt"))
+            .localCheckpoint(true)
+      }
+    })
+    val credits = if (acc == null) {
+      import spark.implicits._
+      Seq.empty[(Long, Long, Long)].toDF("src", "dst", "cnt")
+    } else acc
+    oriented
+      .join(credits, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"), coalesce(col("cnt"), lit(0L)).as("tri_cnt"))
+  }
+
+  /** One chunk-pair edge-credit partial: (src, dst, cnt) membership credits of
+    * block pair (i, j)'s base edges — each witness w of base edge (u,v) credits
+    * (u,v), (u,w) and (v,w), all oriented edges under the acyclic orientation. */
+  private[graft] def pairEdgeCredits(eB: DataFrame, adjB: DataFrame, i: Long, j: Long): DataFrame = {
+    val aU = broadcast(adjB.where(col("block") === i)
+      .select(col("v").as("src"), col("nbrs").as("nbrs_u")))
+    val aV = broadcast(adjB.where(col("block") === j)
+      .select(col("v").as("dst"), col("nbrs").as("nbrs_v")))
+    val withW = eB.where(col("bs") === i && col("bd") === j)
+      .join(aU, "src")
+      .join(aV, "dst")
+      .select(col("src"), col("dst"),
+        array_intersect(col("nbrs_u"), col("nbrs_v")).as("ws"))
+      .where(size(col("ws")) > 0)
+    withW
+      .select(col("src"), col("dst"), size(col("ws")).cast("long").as("c"))
+      .unionAll(withW.select(col("src"), explode(col("ws")).as("dst"), lit(1L).as("c")))
+      .unionAll(withW.select(col("dst").as("src"), explode(col("ws")).as("dst"), lit(1L).as("c")))
+      .groupBy("src", "dst").agg(sum("c").as("cnt"))
   }
 
   /** k-truss peel: iteratively remove every edge in fewer than k−2 triangles

@@ -194,10 +194,13 @@ object Dedup {
     // contract is spill-to-disk, never silent recompute of the text scan —
     // and the persisted volume is observable when a bench run degrades.
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    def estMb(df: DataFrame): String = {
-      val b = df.queryExecution.optimizedPlan.stats.sizeInBytes
-      if (b.isValidLong && b.toLong < (1L << 50)) f"${b.toLong / 1048576.0}%.1f MiB est" else "unknown"
-    }
+    def estMb(df: DataFrame): String =
+      // guarded like CacheTracker's identical stats access (round-5 advice): a
+      // stats-computation failure must not abort the pipeline over a log line
+      try {
+        val b = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        if (b.isValidLong && b.toLong < (1L << 50)) f"${b.toLong / 1048576.0}%.1f MiB est" else "unknown"
+      } catch { case _: Throwable => "unknown" }
     val sets = graft.CacheTracker.persist(setsFromHashes(shingleHashes(docs, k)), level)
     val rehashed = sets.select(col("doc_id"), explode(col("xs")).as("x"))
     // persisted: BOTH sides of the candidate self-join read it — unpersisted,

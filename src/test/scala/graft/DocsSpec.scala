@@ -518,6 +518,57 @@ class BinaryIngestSpec extends AnyFunSuite {
       Option(err.getCause).exists(_.getMessage.contains("uint32")))
   }
 
+  test("commit protocol under failure: a mid-job crash leaves the previous output bit-intact") {
+    // round-5 verdict #6: the protocol's value is the crash path. A task dies
+    // mid-write (out-of-domain id) AFTER the staging dir exists; the previous
+    // output must survive byte-identically and staging must be swept.
+    val dir = java.nio.file.Files.createTempDirectory("graft-bincrash").toString + "/graph"
+    val v1 = Seq((1L, 0L), (2L, 1L), (3L, 2L), (3L, 0L))
+    Ingest.writeBinary(TestSpark.edgeDF(v1), dir)
+    val before = Ingest.edgesFromBinary(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    intercept[org.apache.spark.SparkException] {
+      Ingest.writeBinary(TestSpark.edgeDF(Seq((5L, 4L), (0x1_0000_0000L, 1L))), dir)
+    }
+    val after = Ingest.edgesFromBinary(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(after === before, "a failed job must not touch the previous output")
+    assert(new java.io.File(dir, "_SUCCESS").exists, "previous job's marker must survive")
+    val parent = new java.io.File(dir).getParentFile
+    assert(parent.listFiles.forall(!_.getName.startsWith("._staging-")),
+      "the failed job's staging dir must be swept")
+  }
+
+  test("task retry: a zombie attempt that died before its rename is swept; the retry's part wins") {
+    // drives the task/job-commit primitives directly — the scheduler sequence
+    // writeBinary's foreachPartition produces on a task retry
+    import org.apache.spark.sql.Row
+    val parent = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("graft-binretry").toString)
+    val fs = parent.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(parent, "._staging-graph-test")
+    fs.mkdirs(staging)
+    // attempt 0 writes its bytes then dies BEFORE its task-commit rename
+    Ingest.writeTaskFile(fs, staging.toString, 0, 0,
+      Iterator(Row(9L, 9L), Row(9L, 8L), Row(9L, 7L)), commitRename = false)
+    // the retry (attempt 1) writes different row order/content and commits
+    Ingest.writeTaskFile(fs, staging.toString, 0, 1, Iterator(Row(1L, 0L), Row(2L, 1L)))
+    val dir = new org.apache.hadoop.fs.Path(parent, "graph")
+    Ingest.commitStaging(fs, staging, dir)
+    val names = fs.listStatus(dir).map(_.getPath.getName)
+    assert(!names.exists(_.contains(".attempt-")), "orphaned attempt file must be swept")
+    assert(names.contains("_SUCCESS"))
+    val back = Ingest.edgesFromBinary(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(back === Seq((1L, 0L), (2L, 1L)), "only the committed retry's bytes may be read")
+    // a ZOMBIE attempt finishing after the sweep drops a hidden attempt file
+    // into the final dir — the reader's filter must skip it (round-5 advice:
+    // visible attempt names would silently enter the size/8 edge count)
+    Ingest.writeTaskFile(fs, dir.toString, 0, 2, Iterator(Row(7L, 7L)), commitRename = false)
+    assert(Ingest.edgesFromBinary(spark, dir.toString).count() === 2L,
+      "a late zombie attempt's hidden file must not enter the record count")
+  }
+
   test("malformed input: odd trailing ints silently truncated (reference file_size/8 semantics)") {
     // 5 ints = 2 edges + half a record — the reference's test_io_false.bin shape
     val p = writeBin("test_io_false.bin", Seq(0L, 1L, 1L, 2L, 7L))

@@ -14,15 +14,13 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
   }
 
-  test("driver contract: every query is oracled, waivers are explicit") {
-    // the ONLY allowed no-oracle row: convergence-loop output is not
-    // fixed-round SQL-expressible; it is pinned to a committed golden file
-    // instead (IterativeKernelsSpec)
-    val waived = Set("pagerank_converged")
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- waived
+  test("driver contract: every query is oracled — no waivers left") {
+    // round 6 closed the last waiver: pagerank_converged's stopping iteration
+    // is a measured constant (k* = 4 at both sf scales, IterativeKernelsSpec
+    // pins it), so its oracle is pagerankFixed(4)
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty,
-      s"queries without an oracle (add one or document a waiver here): $missing")
-    assert((waived -- SparkEntry.queries.keySet).isEmpty, "stale waiver")
+      s"queries without an oracle: $missing")
   }
 
   test("CacheTracker: operator-internal persists are released per session") {

@@ -74,6 +74,20 @@ class ComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("run with the agg large-star form equals the window form end to end") {
+    // the 141M-edge race (BENCH.md §components-141M) decides which form
+    // production uses; this pins that the choice is purely physical
+    (1 to 2).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val es = Seq.fill(250)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      val canonical = GraphCore.clean(edgeDF(es)).localCheckpoint(true)
+      val w = Components.run(canonical).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val a = Components.run(canonical, largeStarForm = "agg")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(a === w, s"seed=$seed")
+    }
+  }
+
   test("differential: large/small-star equals min-propagation on seeded random graphs") {
     (1 to 3).foreach { seed =>
       val rnd = new scala.util.Random(seed)
@@ -268,6 +282,33 @@ class PageRankSpec extends AnyFunSuite {
     got.foreach { case (v, p) => assert(math.abs(p - golden(v)) <= 1e-6, s"v=$v") }
     assert(math.abs(got.values.sum - 1.0) < 1e-3) // rounded to 6dp, still ~a distribution
     SparkEntry.releaseCaches(spark)
+  }
+
+  test("pagerank_converged oracle pin: k* = 4 is the convergence iteration at BOTH sf scales") {
+    // The registered oracle is pagerankFixed(4) — valid iff the engine's
+    // stopping rule (first k with max|r_k − r_{k−1}| < 1e-6) lands on k = 4 for
+    // the data. Pin it per scale: d4 < 1e-6 ≤ d3 (k* = 4 and minimal), and the
+    // convergence run equals fixedIterations(4) row-exact after round(6). A
+    // testdata regen that moves k* fails HERE, not as an engine-vs-oracle diff.
+    import org.apache.spark.sql.functions._
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { dir =>
+      val canonical = GraphCore.clean(Ingest.edgesFromEvents(spark, dir)).localCheckpoint(true)
+      def maxDelta(k: Int): Double =
+        PageRank.fixedIterations(canonical, k).withColumnRenamed("pr", "a")
+          .join(PageRank.fixedIterations(canonical, k - 1).withColumnRenamed("pr", "b"), "v")
+          .agg(max(abs(col("a") - col("b")))).first().getDouble(0)
+      val d3 = maxDelta(3)
+      val d4 = maxDelta(4)
+      assert(d4 < 1e-6, s"$dir: d4 = $d4 — k* moved below/above 4, update the oracle")
+      assert(d3 >= 1e-6, s"$dir: d3 = $d3 — k* < 4, the oracle over-iterates")
+      val conv = PageRank.run(canonical, maxIter = 100, tol = 1e-6)
+        .select(col("v"), round(col("pr"), 6).as("pr"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val fixed = PageRank.fixedIterations(canonical, 4)
+        .select(col("v"), round(col("pr"), 6).as("pr"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(conv === fixed, s"$dir: converged run must equal fixedIterations(4) at 6dp")
+    }
   }
 
   test("checkpoint + resume mid-run reproduces the uninterrupted result") {

@@ -232,6 +232,10 @@ class TriangleCountSpec extends AnyFunSuite {
     assert(TriangleCount.resolveShardBudget(b, 2) === b)
     assert(TriangleCount.resolveShardBudget(b, 4) === b / 2)
     assert(TriangleCount.resolveShardBudget(b, 8) === b / 4)
+    // odd pool widths round UP (round-5 advice: floor let concurrency 3 keep
+    // the whole budget — ~3× the documented ≤2× resident invariant)
+    assert(TriangleCount.resolveShardBudget(b, 3) === b / 2)
+    assert(TriangleCount.resolveShardBudget(b, 7) === b / 4)
     // end-to-end: shards sized against budget/(conc/2), so resident bytes
     // (conc × 2 × bytes/shards) never exceed 2× the broadcast-mode budget —
     // the same heap share two full broadcast copies would have used
@@ -257,6 +261,61 @@ class TriangleCountSpec extends AnyFunSuite {
     val sum2 = TriangleCount.edgeSupport(spark, o2, GraphCore.adjacency(o2))
       .agg(org.apache.spark.sql.functions.sum("support")).first().getLong(0)
     assert(sum2 === total)
+  }
+
+  test("edge support: sharded twin equals the broadcast form; forced budget auto-selects it") {
+    def supMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val oriented = GraphCore.orientClean(edgeDF(fixtures.nvgraph8))
+    val adj = GraphCore.adjacency(oriented)
+    val want = supMap(TriangleCount.edgeSupport(spark, oriented, adj))
+    assert(supMap(TriangleCount.edgeSupportSharded(spark, oriented, adj, 3, concurrency = 2)) === want)
+    // a 1-byte budget must route through the sharded form, rows unchanged
+    assert(supMap(TriangleCount.edgeSupport(spark, oriented, adj, maxBroadcastBytes = 1L)) === want)
+    // seeded random differential, pooled
+    val rnd = new scala.util.Random(53)
+    val o2 = GraphCore.orientClean(edgeDF(
+      Seq.fill(400)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))))
+    val adj2 = GraphCore.adjacency(o2)
+    assert(supMap(TriangleCount.edgeSupportSharded(spark, o2, adj2, 4, concurrency = 3))
+      === supMap(TriangleCount.edgeSupport(spark, o2, adj2)))
+    CacheTracker.release(spark)
+  }
+
+  test("edge membership: sharded twin equals the broadcast form (cross-pair credits re-aggregate)") {
+    def cntMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val oriented = GraphCore.orientClean(edgeDF(fixtures.nvgraph8))
+    val adj = GraphCore.adjacency(oriented)
+    val want = cntMap(TriangleCount.edgeTriangleCounts(spark, oriented, adj))
+    assert(cntMap(TriangleCount.edgeTriangleCountsSharded(spark, oriented, adj, 3, concurrency = 2)) === want)
+    assert(cntMap(TriangleCount.edgeTriangleCounts(spark, oriented, adj, maxBroadcastBytes = 1L)) === want)
+    val rnd = new scala.util.Random(59)
+    val o2 = GraphCore.orientClean(edgeDF(
+      Seq.fill(400)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))))
+    val adj2 = GraphCore.adjacency(o2)
+    assert(cntMap(TriangleCount.edgeTriangleCountsSharded(spark, o2, adj2, 4, concurrency = 3))
+      === cntMap(TriangleCount.edgeTriangleCounts(spark, o2, adj2)))
+    CacheTracker.release(spark)
+  }
+
+  test("k-truss inherits the out-of-core escape: forced tiny budget, same surviving edges") {
+    val rnd = new scala.util.Random(61)
+    val oriented = GraphCore.orientClean(edgeDF(
+      Seq.fill(400)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong)))).localCheckpoint(true)
+    val want = TriangleCount.ktrussEdges(spark, oriented, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("spark.graft.maxBroadcastBytes", "1")
+    spark.conf.set("spark.graft.pairConcurrency", "2")
+    try {
+      val forced = TriangleCount.ktrussEdges(spark, oriented, 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(forced === want, "every peel round must survive the sharded path")
+    } finally {
+      spark.conf.unset("spark.graft.maxBroadcastBytes")
+      spark.conf.unset("spark.graft.pairConcurrency")
+      CacheTracker.release(spark)
+    }
   }
 
   test("edge triangle membership: every triangle credits its three edges (sum = 3x total)") {
