@@ -28,7 +28,12 @@ object Components {
     * to 8M, BENCH.md §hub-skew) or `"agg"` (the map-side-combinable
     * groupBy-min + rejoin twin, [[largeStarAgg]]'s plan — the escape for the
     * regime where one hub's neighborhood exceeds a task; raced at the
-    * 141M-edge input per round-5 verdict #2, numbers in BENCH.md). Results are
+    * 141M-edge input per round-5 verdict #2 — BENCH.md §round-6: speed tie at
+    * both 8 and 32 threads and near-identical fitted round overhead K, so the
+    * window sort is NOT the fixed-round bound, but the window form needed 2×
+    * the heap at 32 threads (execution-memory abort in the hub sort at 8 GB;
+    * the agg form completed in 8 GB at both levels) — pick `"agg"` for
+    * ≥10⁸-edge dense inputs at high thread-per-GB ratios). Results are
     * identical (differential-tested); the agg form persists each round's
     * symmetrized edge set for its two passes and drops it as soon as the
     * round's checksum materializes. */

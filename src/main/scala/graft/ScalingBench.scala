@@ -86,7 +86,16 @@ object ScalingBench {
       // deterministic random walks from EVERY vertex (the DeepWalk corpus
       // shape): frontier-joins-capped-adjacency per step
       "walks_4steps" -> (() =>
-        Walks.deterministicWalks(edges, steps = 4, startMod = 1)))
+        Walks.deterministicWalks(edges, steps = 4, startMod = 1)),
+      // round-6 verdict #1 proof-at-scale: the per-edge support kernel with its
+      // NEW broadcast-budget auto-select, run at the input whose ~1.14 GB
+      // adjacency proved the old unconditional broadcast aborts on
+      // maxResultSize — the probe must degrade to edgeSupportSharded and
+      // complete (same contract as the triangles_adj auto-select row)
+      "edge_support_auto" -> (() => {
+        val o = oriented().persist()
+        TriangleCount.edgeSupport(spark, o, GraphCore.adjacency(o).persist())
+      }))
   }
 
   private def gen(nConvs: Long, nTools: Int, path: String): Unit = {
