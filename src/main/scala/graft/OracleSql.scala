@@ -834,12 +834,12 @@ object OracleSql {
 
   /** Twin of [[graft.docs.Similarity.lshCosineTopK]]: the hyperplane matrix is the
     * SAME ±1 literal table the Spark side ships (generated from one source,
-    * [[graft.docs.Similarity.planeSign]] — no drift possible), and both engines
+    * [[graft.expr.HyperplaneBands.planeSign]] — no drift possible), and both engines
     * fold the projection sequentially from 0.0, so the bucket bits are
     * bit-identical. */
   def embedLshTopK(dim: Int, k: Int, queryMod: Int, planes: Int): String = {
     val h = (0 until planes).flatMap(b => (0 until dim).map(j =>
-      graft.docs.Similarity.planeSign(b, j))).mkString("[", ", ", "]")
+      graft.expr.HyperplaneBands.planeSign(b, j))).mkString("[", ", ", "]")
     s"""WITH m AS (SELECT $h::DOUBLE[] AS h),
        |n AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS emb,
@@ -870,7 +870,7 @@ object OracleSql {
     * literal ±1 plane matrix as the engine. */
   def embedLshNearDupPairs(dim: Int, threshold: Double, planes: Int, bands: Int): String = {
     val h = (0 until bands * planes).flatMap(b => (0 until dim).map(j =>
-      graft.docs.Similarity.planeSign(b, j))).mkString("[", ", ", "]")
+      graft.expr.HyperplaneBands.planeSign(b, j))).mkString("[", ", ", "]")
     s"""WITH m AS (SELECT $h::DOUBLE[] AS h),
        |n AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS emb,

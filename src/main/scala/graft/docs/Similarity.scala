@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.expr.DotProduct
+import graft.expr.{DotProduct, HyperplaneBands}
 
 /** Similarity search over the `embeddings` table (vec_id, embedding: array<float>,
   * label).
@@ -57,37 +57,16 @@ object Similarity {
       .select(col("q_id"), col("nbr_id"), col("score"), col("rnk").cast("long").as("rnk"))
   }
 
-  /** ±1 hyperplane component for global plane `b`, dimension `j`: bit (j mod 32)
-    * of xxhash64(b, j div 32) — fully deterministic. Evaluated ONCE on the driver
-    * via the same Catalyst expression the engine would use, then shipped as a
-    * literal matrix: hashing per (row, plane, dim) component inside an interpreted
-    * higher-order fold was the dominant cost of the LSH queries (22 s → ~1 s at
-    * sf0.1). At cluster scale this is "broadcast the plane matrix", the standard
-    * shape for random-projection LSH. */
-  private[graft] def planeSign(b: Int, j: Int): Double = {
-    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-    val h = XxHash64(Seq(Literal(b.toLong), Literal(j / 32)), 42L)
-      .eval(null).asInstanceOf[Long]
-    if (((h >> (j % 32)) & 1L) == 1L) 1.0 else -1.0
-  }
-
-  /** `count`-bit random-hyperplane signature over global plane indices
-    * [from, from+count): bit (b − from) is the sign of the projection onto plane b.
-    * Distinct `from` ranges give independent plane sets (the banding primitive). */
-  private def rhSignatureRange(embName: String, dim: Int, from: Int, count: Int): Column = {
-    require(count <= 62, "signature must fit a non-negative long")
-    // one codegen'd DotProduct per plane against its literal row of the plane
-    // matrix, summed — no higher-order function anywhere; the projection fold
-    // order (0.0 + Σ e_j·h_j left-to-right) is unchanged, so the bucket bits
-    // stay bit-identical to the oracle's list_reduce
-    (0 until count).map { b =>
-      val plane = typedLit((0 until dim).map(j => planeSign(from + b, j)))
-      when(dot(col(embName), plane) >= 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
-
-  private def rhSignature(embName: String, dim: Int, planes: Int): Column =
-    rhSignatureRange(embName, dim, 0, planes)
+  /** All band signatures in one compiled [[graft.expr.HyperplaneBands]] kernel —
+    * `array<long>` of length `bands`, bit p of element b = sign of the projection
+    * onto global plane b·planes+p. The plane matrix derives from
+    * [[graft.expr.HyperplaneBands.planeSign]] (also the oracle's source) and
+    * ships once as a codegen reference object. Replaces the per-plane unrolled
+    * `when(dot(emb, literal) >= 0, …)` form, whose bands×planes inlined
+    * DotProducts overflowed Janino's 64 KB method limit at the production
+    * (5, 40, 64) shape and silently dropped the stage out of codegen. */
+  private def bandSignatures(embName: String, dim: Int, planes: Int, bands: Int): Column =
+    call_function(HyperplaneBands.name, col(embName), lit(dim), lit(planes), lit(bands))
 
   /** Embedding-cosine near-duplicate pairs: all (a < b) with cosine ≥ `threshold`.
     * Brute-force form (exact, oracle-checkable); at scale, bucket first with
@@ -124,10 +103,10 @@ object Similarity {
       planes: Int = 5,
       bands: Int = 40): DataFrame = {
     DotProduct.register(embeddings.sparkSession)
+    HyperplaneBands.register(embeddings.sparkSession)
     val n = graft.CacheTracker.persist(normed(embeddings)) // banding pass + both verify sides
     val banded = n.select(col("vec_id"),
-        posexplode(array((0 until bands).map(b =>
-          rhSignatureRange("emb", dim, b * planes, planes)): _*)))
+        posexplode(bandSignatures("emb", dim, planes, bands)))
       .select(col("vec_id"), col("pos").as("band"), col("col").as("bv"))
     val cands = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
@@ -209,8 +188,9 @@ object Similarity {
       queryMod: Int = 25,
       planes: Int = 8): DataFrame = {
     DotProduct.register(embeddings.sparkSession)
+    HyperplaneBands.register(embeddings.sparkSession)
     val n = normed(embeddings)
-      .withColumn("bucket", rhSignature("emb", dim, planes))
+      .withColumn("bucket", bandSignatures("emb", dim, planes, 1).getItem(0))
     val q = n.select(col("vec_id").as("q_id"), col("emb").as("qe"),
         col("nrm").as("qn"), col("bucket"))
       .where(pmod(col("q_id"), lit(queryMod)) === 0)

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.ArrayType
 
-import graft.expr.{DotProduct, SortedIntersectCount}
+import graft.expr.{DotProduct, HyperplaneBands, SortedIntersectCount}
 
 /** Library installation point — the idiomatic way a Spark-native engine ships its
   * Catalyst extensions (no per-query `register()` calls):
@@ -19,9 +19,9 @@ import graft.expr.{DotProduct, SortedIntersectCount}
   *
   * Installs:
   *  - the [[graft.expr.SortedIntersectCount]] expression under
-  *    `sorted_intersect_count` and [[graft.expr.DotProduct]] under `graft_dot`
-  *    in every session's function registry (usable from SQL text and
-  *    `call_function`);
+  *    `sorted_intersect_count`, [[graft.expr.DotProduct]] under `graft_dot`, and
+  *    [[graft.expr.HyperplaneBands]] under `graft_hyperplane_bands` in every
+  *    session's function registry (usable from SQL text and `call_function`);
   *  - [[IntersectionNonEmptyToOverlap]], an optimizer rule that strength-reduces
   *    full-intersection emptiness tests to short-circuiting overlap probes.
   */
@@ -36,6 +36,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(DotProduct.name),
       new ExpressionInfo(classOf[DotProduct].getCanonicalName, DotProduct.name),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(HyperplaneBands.name),
+      new ExpressionInfo(classOf[HyperplaneBands].getCanonicalName,
+        HyperplaneBands.name),
+      (exprs: Seq[Expression]) => HyperplaneBands.fromExprs(exprs)))
     ext.injectOptimizerRule(_ => IntersectionNonEmptyToOverlap)
   }
 }
