@@ -272,11 +272,15 @@ object Ingest {
     * default but lets the whole transcripts→edges derivation be oracle-checked.
     * Collision odds for a participant universe of size n are ≈ n²/2e9 — negligible
     * for role+tool universes; keep [[participantId]] for production-scale ids. */
-  def participantIdPortable(name: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    aggregate(
-      transform(split(name, ""), c => ascii(c).cast("long")),
-      lit(0L),
-      (acc, x) => pmod(acc * 31 + x, lit(1000000007L)))
+  def participantIdPortable(name: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    // compiled graft_rolling_hash kernel (was an interpreted per-char HOF fold);
+    // a Column=>Column helper has no DataFrame to register on, so register on
+    // the active session (idempotent; GraftExtensions installs it at build time
+    // on deployed sessions)
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.expr.RollingHash.register)
+    call_function(graft.expr.RollingHash.name, name)
+  }
 
   /** The reference's own input format: a headerless binary file of little-endian
     * uint32 pairs, edge count = file_size/8 with a trailing partial record silently

@@ -233,36 +233,23 @@ object Dedup {
     * [[TextOps.fingerprint]] — DuckDB-reproducible, so both simhash queries are
     * oracle-checkable (round 1 used xxhash64, which has no DuckDB twin). Bit i's
     * per-token vote is the parity of an affine re-mix of the token hash
-    * (r·(2i+1) + i·2654435761 mod p). Pure higher-order expressions — each token
-    * is hashed once, then the 64-bit fold runs inside codegen; the only shuffle is
-    * none at all (per-row computation). */
-  def simhash(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), expr(
-        """transform(
-          |  filter(split(lower(text), ' '), x -> x != ''),
-          |  t -> aggregate(split(t, ''), cast(0 as bigint),
-          |         (acc, c) -> pmod(acc * 31 + ascii(c), 1000000007)))""".stripMargin)
-        .as("rs"))
-      .select(
-        col("doc_id"),
-        // token-major loop order: `rs` (the token-hash array) is the INPUT of the
-        // fold and thus evaluated once per row; a bit-major outer loop would
-        // re-evaluate the whole token-hashing transform 64× per document (measured
-        // 23 s → ~2 s at sf0.1). The accumulator is the 64-long vote vector.
-        expr(
-          """aggregate(
-            |  zip_with(
-            |    aggregate(rs,
-            |      transform(sequence(0, 63), i -> cast(0 as bigint)),
-            |      (acc, r) -> zip_with(acc, sequence(0, 63), (a, i) ->
-            |        a + if(pmod(pmod(r * (2 * i + 1) + pmod(i * 2654435761L, 1000000007),
-            |                        1000000007), 2) = 1, 1, -1))),
-            |    sequence(0, 63),
-            |    (v, i) -> if(v > 0, shiftleft(cast(1 as bigint), i), cast(0 as bigint))),
-            |  cast(0 as bigint),
-            |  (a, x) -> a + x)""".stripMargin)
-          .as("simhash"))
+    * (r·(2i+1) + i·2654435761 mod p).
+    *
+    * Round 6: the whole signature is the compiled [[graft.expr.SimHash64]]
+    * kernel — the previous two-level higher-order fold (per-token char
+    * `aggregate`, then an O(tokens × 64) `zip_with` vote accumulation) ran
+    * INTERPRETED end to end (Spark never compiles HOFs), allocating a
+    * `sequence(0, 63)` per token; one compiled pass over (token, bit) replaced
+    * it bit-for-bit (simhash64 3.34 → 0.23 s, neardup pairs 6.49 → 2.78 s at
+    * sf0.1 — the pairs remainder is the banding self-join, as it should be).
+    * Still a pure per-row computation — the only shuffle is none at all. */
+  def simhash(docs: DataFrame): DataFrame = {
+    graft.expr.SimHash64.register(docs.sparkSession)
+    docs.select(
+      col("doc_id"),
+      call_function(graft.expr.SimHash64.name, split(lower(col("text")), " "))
+        .as("simhash"))
+  }
 
   /** SimHash near-duplicate pairs with hamming distance ≤ `maxHamming`, WITHOUT the
     * all-pairs join (round 1's scale-killer): pigeonhole banding. Split the 64 bits

@@ -93,16 +93,16 @@ object TextOps {
   }
 
   /** Deterministic document fingerprint: polynomial rolling hash of the character
-    * stream, mod 1e9+7 (stays far from int64 overflow under ANSI mode).
-    * Output (doc_id, fp). */
-  def fingerprint(docs: DataFrame): DataFrame =
+    * stream, mod 1e9+7 (stays far from int64 overflow under ANSI mode) — the
+    * compiled [[graft.expr.RollingHash]] kernel (round 6; was an interpreted
+    * per-character `aggregate`/`transform`/`split('')` HOF fold; "" → 0 and
+    * null → null exactly as the fold behaved). Output (doc_id, fp). */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    graft.expr.RollingHash.register(docs.sparkSession)
     docs.select(
       col("doc_id"),
-      when(length(col("text")) === 0, lit(0L)).otherwise(
-        aggregate(
-          transform(split(col("text"), ""), c => ascii(c).cast("long")),
-          lit(0L),
-          (acc, x) => (acc * 31 + x) % 1000000007L)).as("fp"))
+      call_function(graft.expr.RollingHash.name, col("text")).as("fp"))
+  }
 
   /** Whitespace-normalized lowercase text — the exact-dedup key. */
   def normalized(text: Column): Column =

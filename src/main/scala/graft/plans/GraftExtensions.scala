@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.ArrayType
 
-import graft.expr.{DotProduct, HyperplaneBands, SortedIntersectCount}
+import graft.expr.{DotProduct, HyperplaneBands, RollingHash, SimHash64, SortedIntersectCount}
 
 /** Library installation point — the idiomatic way a Spark-native engine ships its
   * Catalyst extensions (no per-query `register()` calls):
@@ -19,9 +19,11 @@ import graft.expr.{DotProduct, HyperplaneBands, SortedIntersectCount}
   *
   * Installs:
   *  - the [[graft.expr.SortedIntersectCount]] expression under
-  *    `sorted_intersect_count`, [[graft.expr.DotProduct]] under `graft_dot`, and
-  *    [[graft.expr.HyperplaneBands]] under `graft_hyperplane_bands` in every
-  *    session's function registry (usable from SQL text and `call_function`);
+  *    `sorted_intersect_count`, [[graft.expr.DotProduct]] under `graft_dot`,
+  *    [[graft.expr.HyperplaneBands]] under `graft_hyperplane_bands`,
+  *    [[graft.expr.RollingHash]] under `graft_rolling_hash`, and
+  *    [[graft.expr.SimHash64]] under `graft_simhash64` in every session's
+  *    function registry (usable from SQL text and `call_function`);
   *  - [[IntersectionNonEmptyToOverlap]], an optimizer rule that strength-reduces
   *    full-intersection emptiness tests to short-circuiting overlap probes.
   */
@@ -41,6 +43,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HyperplaneBands].getCanonicalName,
         HyperplaneBands.name),
       (exprs: Seq[Expression]) => HyperplaneBands.fromExprs(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier(RollingHash.name),
+      new ExpressionInfo(classOf[RollingHash].getCanonicalName, RollingHash.name),
+      (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier(SimHash64.name),
+      new ExpressionInfo(classOf[SimHash64].getCanonicalName, SimHash64.name),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
     ext.injectOptimizerRule(_ => IntersectionNonEmptyToOverlap)
   }
 }

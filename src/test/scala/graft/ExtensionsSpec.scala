@@ -106,6 +106,11 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT sorted_intersect_count(array(1L, 2L, 3L), array(2L, 3L, 9L)) AS c")
         .collect().head.getLong(0)
       assert(c === 2L)
+      // zero vector → every projection +0.0 → all `planes` bits set per band
+      val sigs = s2.sql(
+        "SELECT graft_hyperplane_bands(array(0.0D, 0.0D, 0.0D), 3, 4, 2) AS s")
+        .collect().head.getSeq[Long](0)
+      assert(sigs === Seq(15L, 15L))
       import s2.implicits._
       val dir = java.nio.file.Files.createTempDirectory("graft-ext2").resolve("t.parquet")
       Seq((1L, 1L)).toDF("x", "y").write.mode("overwrite").parquet(dir.toString)
