@@ -111,6 +111,12 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT graft_hyperplane_bands(array(0.0D, 0.0D, 0.0D), 3, 4, 2) AS s")
         .collect().head.getSeq[Long](0)
       assert(sigs === Seq(15L, 15L))
+      // the round-6 text-hash kernels ride the same injection path
+      val th = s2.sql(
+        "SELECT graft_rolling_hash('ab') AS h, graft_simhash64(array('', 'ab')) AS sh")
+        .collect().head
+      assert(th.getLong(0) === 3105L) // (97*31 + 98) mod 1e9+7
+      assert(th.getLong(1) !== 0L)
       import s2.implicits._
       val dir = java.nio.file.Files.createTempDirectory("graft-ext2").resolve("t.parquet")
       Seq((1L, 1L)).toDF("x", "y").write.mode("overwrite").parquet(dir.toString)
