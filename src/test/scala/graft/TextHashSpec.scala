@@ -99,6 +99,39 @@ class TextHashSpec extends AnyFunSuite {
     assert(diff === 0L)
   }
 
+  test("property: kernels == old folds on 64 seeded random unicode strings") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val s = spark
+    import s.implicits._
+    RollingHash.register(s)
+    SimHash64.register(s)
+    // mixed code-point soup: ASCII, punctuation, latin-1, BMP CJK, supplementary
+    // plane (astral — two chars in UTF-16), plus spaces/tabs so tokenization and
+    // empty-token filtering are exercised
+    val cpGen: Gen[Int] = Gen.frequency(
+      8 -> Gen.chooseNum(0x20, 0x7e),
+      2 -> Gen.chooseNum(0xa0, 0xff),
+      2 -> Gen.chooseNum(0x4e00, 0x4eff),
+      1 -> Gen.chooseNum(0x1f300, 0x1f6ff), // surrogate pairs
+      2 -> Gen.oneOf(' '.toInt, ' '.toInt, '\t'.toInt))
+    val strGen: Gen[String] = Gen.chooseNum(0, 80).flatMap(n =>
+      Gen.listOfN(n, cpGen).map(cps =>
+        new String(cps.toArray.flatMap(Character.toChars), 0,
+          cps.map(Character.charCount).sum)))
+    val params = Gen.Parameters.default
+    val docs = (1 to 64).map(i =>
+      (i.toLong, strGen.pureApply(params, Seed(i.toLong)))).toDF("doc_id", "text")
+    val diff = docs.select(
+        oldFingerprint.as("fo"),
+        call_function(RollingHash.name, col("text")).as("fn"),
+        oldSimhash.as("so"),
+        call_function(SimHash64.name, split(lower(col("text")), " ")).as("sn"))
+      .where(not(col("fo") <=> col("fn")) || not(col("so") <=> col("sn")))
+      .count()
+    assert(diff === 0L)
+  }
+
   test("codegen == interpreted (factoryMode differential)") {
     val s2 = spark.newSession()
     import s2.implicits._
