@@ -191,6 +191,52 @@ object TriangleCount {
     spark.conf.getOption("spark.graft.pairConcurrency")
       .map(_.toInt).getOrElse(defaultPairConcurrency)
 
+  /** How many per-pair credit partials batch up before one merge folds them
+    * into the accumulator of [[perVertexAdjacencySharded]] /
+    * [[edgeTriangleCountsSharded]]. 1 restores the merge-per-pair behavior.
+    * Override per session with `spark.graft.shardMergeFanIn`. */
+  val defaultShardMergeFanIn: Int = 8
+
+  private[graft] def resolveMergeFanIn(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.shardMergeFanIn")
+      .map(_.toInt).getOrElse(defaultShardMergeFanIn)
+
+  /** Rolling accumulator for OVERLAPPING per-pair credit partials (vertex- or
+    * edge-keyed sums). Pair jobs hand in already-materialized
+    * (`localCheckpoint(true)`) partials; re-aggregating the whole accumulator
+    * once per pair is a full shuffle + lineage truncation per pair job — pure
+    * fixed cost (it re-aggregates mostly-unchanged rows, measured ~1/3 of the
+    * per-pair overhead at sf0.1 and part of the 141M-edge K term). Instead,
+    * partials batch up to `fanIn` before ONE merge folds accumulator + batch.
+    * Credits are sums, so the merge is associative-commutative and completion
+    * order cannot change the result. Resident state: ≤ fanIn materialized
+    * partials (each holding only the keys credited by one block pair) + 1
+    * accumulator — still bounded, now conf-tunable (fanIn 1 ⇒ the old
+    * merge-per-pair bound). */
+  private[graft] final class CreditAccumulator(keyCols: Seq[String], fanIn: Int) {
+    require(fanIn >= 1, "fanIn must be positive")
+    private var acc: DataFrame = null
+    private val pending = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def add(partial: DataFrame): Unit = synchronized {
+      pending += partial
+      if (pending.size >= fanIn) flush()
+    }
+    private def flush(): Unit = {
+      // a lone first partial is already (key, cnt)-aggregated by its pair job —
+      // adopting it directly skips a no-op shuffle
+      if (acc == null && pending.sizeIs == 1) acc = pending.head
+      else acc = (Option(acc) ++ pending).reduce(_ unionAll _)
+        .groupBy(keyCols.map(col): _*).agg(sum(col("cnt")).as("cnt"))
+        .localCheckpoint(true)
+      pending.clear()
+    }
+    /** Final accumulator; None when no partial was ever added. */
+    def result(): Option[DataFrame] = synchronized {
+      if (pending.nonEmpty) flush()
+      Option(acc)
+    }
+  }
+
   /** Resolve the broadcast budget for the sharded auto-select. Priority:
     * explicit non-negative argument > session conf `spark.graft.maxBroadcastBytes`
     * (size string, e.g. "512m") > derived from `spark.executor.memory` ×
@@ -442,10 +488,12 @@ object TriangleCount {
     * [[perVertexAdjacency]], same 2D chunk-pair tiling as
     * [[globalAdjacencySharded]]. Each pair job materializes its (v, cnt)
     * credit partials (endpoint + witness credits of that pair's edges — longs,
-    * never arrays) into a rolling accumulator that is re-aggregated and
-    * lineage-truncated per pair (`localCheckpoint`), so at any moment the
-    * resident state is two adjacency blocks plus one vertex-sized count table.
-    * Results identical to [[perVertexAdjacency]]. */
+    * never arrays) into a [[CreditAccumulator]]: the merge that folds partials
+    * into the running total batches `spark.graft.shardMergeFanIn` partials per
+    * shuffle (round 6 — merging per pair re-aggregated the whole accumulator
+    * shards² times), so at any moment the resident state is
+    * concurrency × (2 adjacency blocks + 1 partial) + ≤ fanIn partials + 1
+    * vertex-sized count table. Results identical to [[perVertexAdjacency]]. */
   def perVertexAdjacencySharded(
       spark: SparkSession,
       canonical: DataFrame,
@@ -465,27 +513,18 @@ object TriangleCount {
       .select(col("bs"), col("bd")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(identity)
-    // Rolling accumulator, merged under a lock: credits are SUMS, so the merge
-    // is associative-commutative and completion order cannot change the result.
     // Each pair job materializes its own credit partial (EAGER localCheckpoint:
-    // only that job's two broadcasts are ever live, and the lineage is cut);
-    // the serialized merge step re-aggregates two vertex-sized tables — cheap
-    // next to the intersection work the pool overlaps. Resident state is
-    // bounded by concurrency × (2 blocks + 1 partial) + 1 accumulator.
-    var acc: DataFrame = null
-    val lock = new Object
+    // only that job's two broadcasts are ever live, and the lineage is cut),
+    // then hands it to the fan-in-batched accumulator (see CreditAccumulator
+    // for the memory bound and why the merge is order-insensitive).
+    val accumulator = new CreditAccumulator(Seq("v"), resolveMergeFanIn(spark))
     runPairJobs(spark, concurrency, present.toSeq.map { case (i, j) => () =>
-      val credits = pairCredits(eB, adjB, i, j).localCheckpoint(true)
-      lock.synchronized {
-        acc = if (acc == null) credits
-          else acc.unionAll(credits).groupBy("v").agg(sum(col("cnt")).as("cnt"))
-            .localCheckpoint(true)
-      }
+      accumulator.add(pairCredits(eB, adjB, i, j).localCheckpoint(true))
     })
-    val corners = if (acc == null) {
+    val corners = accumulator.result().getOrElse {
       import spark.implicits._
       Seq.empty[(Long, Long)].toDF("v", "cnt")
-    } else acc
+    }
     GraphCore.vertices(canonical)
       .join(corners, Seq("v"), "left")
       .select(col("v"), coalesce(col("cnt"), lit(0L)).as("tri_cnt"))
@@ -679,11 +718,11 @@ object TriangleCount {
     * [[edgeTriangleCounts]]. Unlike [[edgeSupportSharded]]'s disjoint partials,
     * a base edge (u,v) in pair (bs(u), bs(v)) credits edges (u,w) and (v,w)
     * that may live in OTHER block pairs, so credits overlap across pairs: the
-    * merge is the same rolling re-aggregated accumulator as
+    * merge is the same fan-in-batched [[CreditAccumulator]] as
     * [[perVertexAdjacencySharded]] (credits are sums — associative-commutative,
     * completion order cannot change the result), edge-keyed instead of
-    * vertex-keyed. Resident state per moment: concurrency × 2 adjacency blocks
-    * plus one edge-sized count table. */
+    * vertex-keyed. Resident state per moment: concurrency × (2 adjacency
+    * blocks + 1 partial) + ≤ fanIn partials + one edge-sized count table. */
   def edgeTriangleCountsSharded(
       spark: SparkSession,
       oriented: DataFrame,
@@ -702,20 +741,14 @@ object TriangleCount {
       .select(col("bs"), col("bd")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(identity)
-    var acc: DataFrame = null
-    val lock = new Object
+    val accumulator = new CreditAccumulator(Seq("src", "dst"), resolveMergeFanIn(spark))
     runPairJobs(spark, concurrency, present.toSeq.map { case (i, j) => () =>
-      val credits = pairEdgeCredits(eB, adjB, i, j).localCheckpoint(true)
-      lock.synchronized {
-        acc = if (acc == null) credits
-          else acc.unionAll(credits).groupBy("src", "dst").agg(sum(col("cnt")).as("cnt"))
-            .localCheckpoint(true)
-      }
+      accumulator.add(pairEdgeCredits(eB, adjB, i, j).localCheckpoint(true))
     })
-    val credits = if (acc == null) {
+    val credits = accumulator.result().getOrElse {
       import spark.implicits._
       Seq.empty[(Long, Long, Long)].toDF("src", "dst", "cnt")
-    } else acc
+    }
     oriented
       .join(credits, Seq("src", "dst"), "left")
       .select(col("src"), col("dst"), coalesce(col("cnt"), lit(0L)).as("tri_cnt"))

@@ -158,6 +158,54 @@ class TriangleCountSpec extends AnyFunSuite {
     CacheTracker.release(spark)
   }
 
+  test("CreditAccumulator: fanIn 1/2/16 all equal one flat union+groupBy; empty → None") {
+    // unit-level: the merge logic itself, no pair jobs. 7 partials with
+    // overlapping keys — fanIn 1 merges per add (the old behavior), 2 forces
+    // three mid-run flushes + a final one, 16 defers to a single final merge.
+    import spark.implicits._
+    val rnd = new scala.util.Random(57)
+    val partials = Seq.tabulate(7)(p =>
+      Seq.fill(20)((rnd.nextInt(9).toLong, rnd.nextLong(100L)))
+        .toDF("v", "cnt").groupBy("v").agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+        .localCheckpoint(true))
+    val want = partials.reduce(_ unionAll _)
+      .groupBy("v").agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (fanIn <- Seq(1, 2, 16)) {
+      val accum = new TriangleCount.CreditAccumulator(Seq("v"), fanIn)
+      partials.foreach(accum.add)
+      val got = accum.result().get.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"fanIn $fanIn")
+    }
+    assert(new TriangleCount.CreditAccumulator(Seq("v"), 4).result().isEmpty)
+  }
+
+  test("merge fan-in end-to-end: flush-forcing fanIn equals the broadcast forms") {
+    // one sharded run per kernel at fanIn 2 (3 shards → up to 9 pairs → mid-run
+    // flushes guaranteed); vertex-keyed AND edge-keyed credits
+    val rnd = new scala.util.Random(58)
+    val es = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val canonical = GraphCore.clean(edgeDF(es))
+    val oriented = GraphCore.orient(canonical, GraphCore.degrees(canonical))
+    val adj = GraphCore.adjacency(oriented)
+    val wantV = TriangleCount.perVertexAdjacency(canonical, oriented, adj)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantE = TriangleCount.edgeTriangleCounts(spark, oriented, adj)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    spark.conf.set("spark.graft.shardMergeFanIn", "2")
+    try {
+      val gotV = TriangleCount.perVertexAdjacencySharded(
+          spark, canonical, oriented, adj, 3, concurrency = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotV === wantV, "per-vertex @ fanIn 2")
+      val gotE = TriangleCount.edgeTriangleCountsSharded(
+          spark, oriented, adj, 3, concurrency = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(gotE === wantE, "edge credits @ fanIn 2")
+    } finally spark.conf.unset("spark.graft.shardMergeFanIn")
+    CacheTracker.release(spark)
+  }
+
   test("runPairJobs: a failing pair job propagates its own exception and drops queued jobs") {
     val executed = new java.util.concurrent.atomic.AtomicInteger(0)
     val boom = new IllegalStateException("pair job failed")
