@@ -123,35 +123,43 @@ object Dedup {
       .select(col("doc_id"),
         shingleHash(col("text").substr(col("col"), lit(k)), k).as("x"))
 
-  /** MinHash signatures from hashed shingle rows: the `perms` permutation minima
-    * as plain `min` aggregates — one fully codegen'd HashAggregate with partial
-    * (map-side) combine, replacing round 2's interpreted `aggregate`/`zip_with`
-    * fold (Spark never compiles higher-order functions; the fold was 17 s of
-    * the driver bench). Kept SEPARATE from the collect_set aggregation: mixing
-    * a TypedImperativeAggregate into the same groupBy would force the whole
-    * aggregation onto the non-codegen ObjectHashAggregate path.
-    * Output (doc_id, sig: array<long> of length `perms`). */
-  def minhashSignaturesFromHashes(hashed: DataFrame, perms: Int = 64): DataFrame = {
-    val bs = minhashOffsets(perms)
-    val minCols = (0 until perms).map(i =>
-      min(pmod(col("xp") * lit(2L * i + 1) + lit(bs(i)), lit(minhashP))).as(s"_m$i"))
-    hashed
-      .withColumn("xp", pmod(col("x"), lit(minhashP)))
-      .groupBy("doc_id")
-      .agg(minCols.head, minCols.tail: _*)
+  /** Per-document sorted shingle-hash set: (doc_id, xs: array<long> ascending).
+    *
+    * Round 6: ROW-LOCAL via the compiled [[graft.expr.ShingleHashSet]] kernel —
+    * every hash derives from the document's own text, so the previous
+    * `posexplode` (one row per character position) + `sort_array(collect_set)`
+    * ObjectHashAggregate and its exchange were pure overhead (~85% of the warm
+    * `minhash_lsh_pairs` profile at sf0.1 sat in the prep stages). The per-doc
+    * set now never leaves its row; the pipeline's first exchange is the
+    * band-bucket self-join, the one that genuinely has to move data.
+    * Bit-equivalence with the aggregate form (reconstructed verbatim from
+    * [[shingleHashes]], which stays in production for the per-shingle
+    * contamination scan) is pinned by MinHashKernelSpec, including a seeded
+    * random-unicode property differential. */
+  def shingleSets(docs: DataFrame, k: Int = 5): DataFrame = {
+    graft.expr.ShingleHashSet.register(docs.sparkSession)
+    docs
+      .where(length(col("text")) >= k)
       .select(col("doc_id"),
-        array((0 until perms).map(i => col(s"_m$i")): _*).as("sig"))
+        call_function(graft.expr.ShingleHashSet.name, col("text"), lit(k)).as("xs"))
   }
 
-  /** Per-document sorted shingle-hash set: (doc_id, xs: array<long> ascending). */
-  def shingleSets(docs: DataFrame, k: Int = 5): DataFrame =
-    setsFromHashes(shingleHashes(docs, k))
-
-  private def setsFromHashes(hashed: DataFrame): DataFrame =
-    hashed.groupBy("doc_id").agg(sort_array(collect_set(col("x"))).as("xs"))
-
+  /** MinHash signatures (doc_id, sig: array<long> of length `perms`).
+    *
+    * Round-6 lineage: round 2's interpreted `aggregate`/`zip_with` fold (Spark
+    * never compiles higher-order functions; it was 17 s of the driver bench)
+    * became `perms` plain codegen `min` aggregates in round 3; round 6 makes the
+    * minima ROW-LOCAL over the [[shingleSets]] arrays via the compiled
+    * [[graft.expr.MinHashSig]] kernel — same values, no re-explode, no
+    * HashAggregate, no exchange. */
   def minhashSignatures(docs: DataFrame, k: Int = 5, perms: Int = 64): DataFrame =
-    minhashSignaturesFromHashes(shingleHashes(docs, k), perms)
+    signaturesFromSets(shingleSets(docs, k), perms)
+
+  private def signaturesFromSets(sets: DataFrame, perms: Int): DataFrame = {
+    graft.expr.MinHashSig.register(sets.sparkSession)
+    sets.select(col("doc_id"),
+      call_function(graft.expr.MinHashSig.name, col("xs"), lit(perms)).as("sig"))
+  }
 
   /** Rolling band hash over the band's `rows` signature values, seeded with the
     * band index — plain codegen arithmetic, identical in DuckDB. Collisions can
@@ -167,11 +175,12 @@ object Dedup {
     * bands×rows must equal the signature length.
     *
     * Scale shape: ONE pass over the text builds the persisted per-doc hash
-    * sets ([[shingleSets]] via [[shingleHashes]]); the signature aggregation
-    * ([[minhashSignaturesFromHashes]]) re-explodes the CACHED hash arrays;
-    * banding + bucket equi-join yields candidates proportional to
-    * true-duplicate density; verification intersects the two per-doc SORTED
-    * hash arrays with the codegen'd two-pointer merge
+    * sets ([[shingleSets]] — row-local compiled kernel, no exchange); the
+    * signatures are row-local minima over the CACHED arrays
+    * ([[graft.expr.MinHashSig]] — no exchange either); banding + bucket
+    * equi-join yields candidates proportional to true-duplicate density — the
+    * FIRST shuffle of the whole plan; verification intersects the two per-doc
+    * SORTED hash arrays with the codegen'd two-pointer merge
     * ([[graft.expr.SortedIntersectCount]]). Every stage is codegen'd — the
     * portable hashes also make the whole pipeline DuckDB-oracle-checkable
     * (round 2's last closable no-oracle row). */
@@ -184,11 +193,9 @@ object Dedup {
     require(perms % bands == 0, "bands must divide perms")
     val rows = perms / bands
     graft.expr.SortedIntersectCount.register(docs.sparkSession)
-    // the hashed shingle rows are the one shared scan; signatures (codegen min
-    // aggs) and sets (collect_set for the verify joins) each reduce it once
-    // ONE pass hashes the text (explode + rolling hash) into per-doc sets; the
-    // signature aggregation then re-explodes the CACHED hash arrays — it never
-    // touches the text again.
+    // ONE map-side pass hashes the text into per-doc sorted sets (the compiled
+    // row-local kernel); signatures are row-local minima over the CACHED
+    // arrays — neither stage shuffles, and the text is never touched again.
     // Both tracked persists are explicitly MEMORY_AND_DISK with their size
     // estimates logged (round-4 verdict #6): under host memory pressure the
     // contract is spill-to-disk, never silent recompute of the text scan —
@@ -201,15 +208,35 @@ object Dedup {
         val b = df.queryExecution.optimizedPlan.stats.sizeInBytes
         if (b.isValidLong && b.toLong < (1L << 50)) f"${b.toLong / 1048576.0}%.1f MiB est" else "unknown"
       } catch { case _: Throwable => "unknown" }
-    val sets = graft.CacheTracker.persist(setsFromHashes(shingleHashes(docs, k)), level)
-    val rehashed = sets.select(col("doc_id"), explode(col("xs")).as("x"))
+    // fan the TEXT out to the session's shuffle width ONCE, before hashing: the
+    // row-local kernels removed both prep exchanges, so parallelism would
+    // otherwise equal the SCAN's split count — 1 for a small single-file input,
+    // serializing the hashing, the banding, the self-join probe and the verify
+    // joins on one core. Exchanging the raw text (~1 byte/char) is cheaper than
+    // exchanging either the old per-shingle explode OR the hash arrays
+    // (8 bytes/shingle), and everything downstream of it is parallel; on a
+    // production multi-split scan it is a balance pass, not a rescue.
+    val fanned = docs.repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+    val sets = graft.CacheTracker.persist(shingleSets(fanned, k), level)
     // persisted: BOTH sides of the candidate self-join read it — unpersisted,
-    // the whole signature aggregation would run twice inside that job
-    val banded = graft.CacheTracker.persist(minhashSignaturesFromHashes(rehashed, perms)
+    // the whole signature computation would run twice inside that job
+    val banded = graft.CacheTracker.persist(signaturesFromSets(sets, perms)
       .select(col("doc_id"), posexplode(array((0 until bands).map(bandHash(_, rows)): _*)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bh")), level)
     System.err.println(
       s"[minhash] persisted (MEMORY_AND_DISK): sets ${estMb(sets)}, banded ${estMb(banded)}")
+    // MATERIALIZE both caches before the join query is BUILT: the row-local
+    // prep leaves pre-materialization size estimates at the scan-derived guess,
+    // which undercounts the generated arrays by ~8 bytes/char — Catalyst
+    // planning the joins from that guess could pick a broadcast build whose
+    // ACTUAL size is far past the threshold (the round-5 auto-select lesson:
+    // an under-estimated broadcast aborts on maxResultSize at scale). Planned
+    // AFTER materialization, every join side is an InMemoryRelation carrying
+    // its COMPUTED size, so the broadcast-vs-merge choice is made on truth at
+    // any scale: these 8 MiB caches broadcast (fastest here), corpus-scale
+    // caches exceed the threshold and take the shuffled sort-merge on the
+    // compact numeric keys. No hints — the stats are the contract.
+    banded.count()
     val candidates = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))

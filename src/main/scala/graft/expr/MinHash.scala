@@ -1,0 +1,209 @@
+package graft.expr
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Row-local MinHash preparation kernels.
+  *
+  * Round 6's minhash profile at sf0.1 put ~85% of the warm `minhash_lsh_pairs`
+  * time in the PREP stages: `posexplode` materializing one row per character
+  * position, a `collect_set` ObjectHashAggregate + exchange building the per-doc
+  * hash sets, then a re-explode + 64-`min` HashAggregate + exchange for the
+  * signatures. Every hash in both stages derives from the document's OWN text,
+  * so none of it needs a shuffle: these two expressions compute the sorted
+  * distinct shingle-hash set and the permutation minima per ROW, keeping the
+  * whole preparation map-side (the first exchange left in the pipeline is the
+  * band-bucket self-join — the one that genuinely needs to move data). At the
+  * 100 TB design point that removes two corpus-sized aggregation exchanges.
+  *
+  * Bit-for-bit contract with the aggregate forms they replace (pinned by
+  * MinHashKernelSpec differentials, reconstructed verbatim from
+  * [[graft.docs.Dedup.shingleHashes]] which stays in production for the
+  * per-shingle contamination scan): same ~60-bit double rolling hash per
+  * k-code-point shingle, same `sort_array(collect_set(x))` ordering, same
+  * `min(pmod(xp·(2i+1) + b_i, p))` minima. Codegen ships one CALL per row to
+  * the JIT-compiled kernel (the TextHash pattern) — eval and codegen share one
+  * implementation and the generated method stays tiny at any (k, perms). */
+object MinHashKernel {
+  val P1 = 1000000007L
+  val P2 = 1000000009L
+
+  /** Combined shingle hashes of every k-code-point window, sorted distinct —
+    * exactly `sort_array(collect_set(shingleHash(...)))` over the posexplode'd
+    * windows. Fewer than k code points → empty array (the pipeline's
+    * `length(text) >= k` guard makes such rows unreachable in production). */
+  def shingleSet(s: UTF8String, k: Int): Array[Long] = {
+    val str = s.toString
+    // code points, as substring/ascii saw them (a surrogate pair is one element)
+    val cps = new Array[Int](str.codePointCount(0, str.length))
+    var ci = 0
+    var si = 0
+    while (si < str.length) {
+      val cp = str.codePointAt(si)
+      cps(ci) = cp
+      ci += 1
+      si += Character.charCount(cp)
+    }
+    val n = cps.length - k + 1
+    if (n <= 0) return Array.emptyLongArray
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var h1 = 0L
+      var h2 = 0L
+      var j = 0
+      while (j < k) {
+        val cp = cps(i + j)
+        h1 = (h1 * 31 + cp) % P1
+        h2 = (h2 * 131 + cp) % P2
+        j += 1
+      }
+      hs(i) = h1 * P2 + h2
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var w = 1
+    i = 1
+    while (i < n) {
+      if (hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    if (w == n) hs else java.util.Arrays.copyOf(hs, w)
+  }
+}
+
+/** `graft_shingle_set(text, k)` — the per-document sorted distinct shingle-hash
+  * array as ONE compiled scalar: replaces `posexplode` + rolling-hash projection
+  * + `sort_array(collect_set(x))` (an ObjectHashAggregate and its exchange) in
+  * [[graft.docs.Dedup.shingleSets]]. Null text → null. */
+case class ShingleHashSet(child: Expression, k: Int) extends UnaryExpression {
+
+  require(k > 0, s"${ShingleHashSet.name}: k must be positive, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = ShingleHashSet.name
+  override def nullable: Boolean = child.nullable
+
+  def compute(s: UTF8String): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(MinHashKernel.shingleSet(s, k))
+
+  override protected def nullSafeEval(s: Any): Any =
+    compute(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleSet", this, classOf[ShingleHashSet].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashSet =
+    copy(child = newChild)
+}
+
+object ShingleHashSet {
+  val name = "graft_shingle_set"
+
+  private[graft] def fromExprs(exprs: Seq[Expression]): ShingleHashSet = {
+    require(exprs.length == 2, s"$name expects (text, k), got ${exprs.length} arguments")
+    exprs(1) match {
+      case Literal(v: Int, IntegerType) => ShingleHashSet(exprs.head, v)
+      case other => throw new IllegalArgumentException(
+        s"$name: k must be an integer literal, got $other")
+    }
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, fromExprs, "built-in")
+}
+
+/** `graft_minhash_sig(xs, perms)` — the `perms` permutation minima
+  * `min((x mod p)·(2i+1) + b_i mod p)` over a hash array in ONE compiled pass:
+  * replaces the re-explode + `perms` plain `min` aggregates (a HashAggregate and
+  * its exchange) in the signature stage of [[graft.docs.Dedup.minhashLshPairs]].
+  * Offsets b_i come from [[graft.docs.Dedup.minhashOffsets]] — the same literal
+  * table the DuckDB oracle renders. Null array → null; null elements are skipped
+  * (`min` ignores null rows); an array with no non-null element is a hard error
+  * (the aggregate form emitted no row at all for it — there is no value this
+  * expression could return without silently changing that contract, and the
+  * pipeline's `length(text) >= k` guard means no such row reaches it). */
+case class MinHashSig(child: Expression, perms: Int) extends UnaryExpression {
+
+  require(perms > 0, s"${MinHashSig.name}: perms must be positive, got $perms")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<long> argument, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = MinHashSig.name
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val offsets: Array[Long] =
+    graft.docs.Dedup.minhashOffsets(perms).toArray
+
+  def compute(xs: ArrayData): ArrayData = {
+    val p = MinHashKernel.P1
+    val sig = new Array[Long](perms)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = xs.numElements()
+    var any = false
+    var t = 0
+    while (t < n) {
+      if (!xs.isNullAt(t)) {
+        any = true
+        val xp = java.lang.Math.floorMod(xs.getLong(t), p)
+        var i = 0
+        while (i < perms) {
+          val v = (xp * (2L * i + 1) + offsets(i)) % p
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+      }
+      t += 1
+    }
+    if (!any) throw new IllegalArgumentException(
+      s"$prettyName: no non-null elements — the min aggregates this replaces emitted no row here")
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  override protected def nullSafeEval(xs: Any): Any =
+    compute(xs.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSig", this, classOf[MinHashSig].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  val name = "graft_minhash_sig"
+
+  private[graft] def fromExprs(exprs: Seq[Expression]): MinHashSig = {
+    require(exprs.length == 2, s"$name expects (xs, perms), got ${exprs.length} arguments")
+    exprs(1) match {
+      case Literal(v: Int, IntegerType) => MinHashSig(exprs.head, v)
+      case other => throw new IllegalArgumentException(
+        s"$name: perms must be an integer literal, got $other")
+    }
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, fromExprs, "built-in")
+}

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.ArrayType
 
-import graft.expr.{DotProduct, HyperplaneBands, RollingHash, SimHash64, SortedIntersectCount}
+import graft.expr.{DotProduct, HyperplaneBands, MinHashSig, RollingHash, ShingleHashSet, SimHash64, SortedIntersectCount}
 
 /** Library installation point — the idiomatic way a Spark-native engine ships its
   * Catalyst extensions (no per-query `register()` calls):
@@ -21,8 +21,10 @@ import graft.expr.{DotProduct, HyperplaneBands, RollingHash, SimHash64, SortedIn
   *  - the [[graft.expr.SortedIntersectCount]] expression under
   *    `sorted_intersect_count`, [[graft.expr.DotProduct]] under `graft_dot`,
   *    [[graft.expr.HyperplaneBands]] under `graft_hyperplane_bands`,
-  *    [[graft.expr.RollingHash]] under `graft_rolling_hash`, and
-  *    [[graft.expr.SimHash64]] under `graft_simhash64` in every session's
+  *    [[graft.expr.RollingHash]] under `graft_rolling_hash`,
+  *    [[graft.expr.SimHash64]] under `graft_simhash64`,
+  *    [[graft.expr.ShingleHashSet]] under `graft_shingle_set`, and
+  *    [[graft.expr.MinHashSig]] under `graft_minhash_sig` in every session's
   *    function registry (usable from SQL text and `call_function`);
   *  - [[IntersectionNonEmptyToOverlap]], an optimizer rule that strength-reduces
   *    full-intersection emptiness tests to short-circuiting overlap probes.
@@ -51,6 +53,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(SimHash64.name),
       new ExpressionInfo(classOf[SimHash64].getCanonicalName, SimHash64.name),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier(ShingleHashSet.name),
+      new ExpressionInfo(classOf[ShingleHashSet].getCanonicalName, ShingleHashSet.name),
+      (exprs: Seq[Expression]) => ShingleHashSet.fromExprs(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier(MinHashSig.name),
+      new ExpressionInfo(classOf[MinHashSig].getCanonicalName, MinHashSig.name),
+      (exprs: Seq[Expression]) => MinHashSig.fromExprs(exprs)))
     ext.injectOptimizerRule(_ => IntersectionNonEmptyToOverlap)
   }
 }

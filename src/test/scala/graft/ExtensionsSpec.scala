@@ -117,6 +117,14 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect().head
       assert(th.getLong(0) === 3105L) // (97*31 + 98) mod 1e9+7
       assert(th.getLong(1) !== 0L)
+      // the row-local minhash kernels too: "ab" with k=2 has ONE shingle whose
+      // combined hash is (97*31+98 mod 1e9+7)·(1e9+9) + (97*131+98 mod 1e9+9)
+      val mh = s2.sql(
+        """SELECT graft_shingle_set('ab', 2) AS xs,
+          |       graft_minhash_sig(array(5L, 3L), 1) AS sig""".stripMargin)
+        .collect().head
+      assert(mh.getSeq[Long](0) === Seq(3105L * 1000000009L + 12805L))
+      assert(mh.getSeq[Long](1).length === 1)
       import s2.implicits._
       val dir = java.nio.file.Files.createTempDirectory("graft-ext2").resolve("t.parquet")
       Seq((1L, 1L)).toDF("x", "y").write.mode("overwrite").parquet(dir.toString)
