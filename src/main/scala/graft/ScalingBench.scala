@@ -192,18 +192,133 @@ object ScalingBench {
     spark.stop()
   }
 
+  /** Deterministic documents corpus at scale — the dedup-pipeline analog of
+    * [[Transcripts.synth]] (the testdata `documents` tables stop at 5k rows;
+    * scaling evidence for the LLM-curation layer needs corpus sizes the same
+    * way the graph rows needed the 32M/141M edge tables). ~20% of docs draw
+    * their text from a SHARED template pool of `nDocs`/50 streams, each doc
+    * appending up to 3 doc-specific tokens — so the corpus carries real
+    * near-duplicate clusters (shared-template docs sit far above the 0.35
+    * Jaccard threshold, ~10 docs per hot template) while ~80% stay unique.
+    * Pure function of doc_id mixed through `xxhash64` (hashes pmod'd to 1e9
+    * BEFORE the per-token affine walk — ANSI mode would overflow a full-range
+    * 64-bit hash), generated distributed via `spark.range`: any scale
+    * regenerates bit-identically, no driver-side materialization. */
+  private def genDocs(nDocs: Long, path: String): Unit = {
+    val spark = Bench.session("32")
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    // token = vocab word (length 3-9) + number: a ~48k-word universe whose
+    // tokens VARY IN LENGTH. Both properties matter:
+    //  - a large universe keeps unrelated docs sharing ~no shingles
+    //    (real-corpus behavior — LSH band buckets stay selective; an affine
+    //    position walk over a 32-word vocab made every template a rotation of
+    //    one token cycle and the pair output quadratic);
+    //  - varying LENGTH spreads the polynomial token hashes over the whole
+    //    [0, p) range. Fixed-length shared-prefix tokens ("w"+5 digits) confine
+    //    the rolling hashes to a ~1e7-wide interval, which DEGENERATES SimHash:
+    //    with r = c0+δ the bit-i vote parity((r(2i+1)+c_i) mod p) loses its
+    //    mod-wrap for low i and collapses to parity(K_i)⊕parity(δ) — every doc
+    //    lands on one of TWO complementary low-band values (measured: buckets
+    //    12902/52633 = 0x3266/0xCD99, exact ~16-bit complements, holding 60% of
+    //    500k docs → 3.8e10 candidate pairs). Real text varies token length, so
+    //    31^len alone spans many multiples of p. See BENCH.md §docs-scaling.
+    val vocab = array(Seq(
+      "plan", "scan", "join", "agg", "shuffle", "filter", "sort", "hash",
+      "merge", "batch", "stream", "vector", "column", "row", "key", "value",
+      "graph", "edge", "vertex", "triangle", "rank", "label", "component", "degree",
+      "read", "write", "spill", "broadcast", "partition", "skew", "salt", "codegen"
+    ).map(lit): _*)
+    def token(seed: Long, key: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) = {
+      val t = xxhash64(lit(seed), key, j)
+      concat(element_at(vocab, pmod(t, lit(32L)).cast("int") + 1),
+        pmod(xxhash64(t), lit(1500L)))
+    }
+    val h = pmod(xxhash64(lit(7L), col("id")), lit(1000000007L))
+    val tpl = when(pmod(h, lit(10L)) < 2,
+      pmod(xxhash64(lit(11L), col("id")), lit(math.max(1L, nDocs / 50))))
+      .otherwise(col("id"))
+    val nTok = pmod(xxhash64(lit(13L), tpl), lit(41L)).cast("int") + lit(40)
+    val base = transform(sequence(lit(0), nTok), j => token(17L, tpl, j))
+    val salt = transform(sequence(lit(0), pmod(h, lit(4L)).cast("int")),
+      j => token(19L, col("id"), j))
+    spark.range(nDocs)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", flatten(array(base, salt))).as("text"))
+      .write.mode("overwrite").parquet(path)
+    val d = spark.read.parquet(path)
+    val stats = d.agg(count(lit(1)), sum(length(col("text")))).first()
+    println(s"""{"gendocs":"$path","docs":${stats.getLong(0)},"chars":${stats.getLong(1)}}""")
+    spark.stop()
+  }
+
+  /** The dedup-pipeline kernels on a docs parquet, same protocol as [[measure]]
+    * (fresh JVM per parallelism level, persists dropped between reps, best-of).
+    * Throughput unit is corpus chars/s — the quantity that is 100 TB at the
+    * design point. */
+  private def measureDocs(path: String, cpus: Int, reps: Int, only: Option[String]): Unit = {
+    val spark = Bench.session(cpus.toString)
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(path)
+    val stats = docs.agg(count(lit(1)), sum(length(col("text")))).first()
+    val (nDocs, nChars) = (stats.getLong(0), stats.getLong(1)) // also warms the scan
+    val kernels: Seq[(String, () => DataFrame)] = Seq(
+      // the registered oracle-scale configuration: k=5 char shingles. At
+      // corpus scale the BACKGROUND Jaccard of unrelated same-language docs
+      // under 5-char shingles (~0.08 here) meets the 16x4 banding tail
+      // (~16·J^4 of ALL pairs become candidates) — measured 135M candidate
+      // rows on this 500k corpus. Correct, but quadratic-tailed: small-scale
+      // config only.
+      "minhash_lsh" -> (() => graft.docs.Dedup.minhashLshPairs(docs, 5, 64, 16, 0.35)),
+      // the corpus-scale configuration (Gopher-style long shingles): k=13
+      // drops background J to ~0, candidates track planted dup density
+      // (measured 7.0M pre-distinct on the same corpus, max bucket 23)
+      "minhash_lsh_k13" -> (() => graft.docs.Dedup.minhashLshPairs(docs, 13, 64, 16, 0.35)),
+      // the registered hamming<=8 contract: 9 pigeonhole bands of ~7 bits =
+      // ~128 bucket values per band, so candidates grow ~n^2/128 — correct and
+      // verified at oracle scale, NOT a corpus-scale configuration
+      "simhash_pairs" -> (() => graft.docs.Dedup.simhashNearDupPairs(docs, 8)),
+      // the corpus-scale simhash configuration: hamming<=3 -> 4 bands x 16
+      // bits = 65k bucket values per band, selectivity ~n^2/65536
+      "simhash_pairs_h3" -> (() => graft.docs.Dedup.simhashNearDupPairs(docs, 3)),
+      "dedup_exact" -> (() => graft.docs.Dedup.exact(docs)))
+    val results = (1 to reps).map { rep =>
+      kernels
+        .filter { case (name, _) => only.forall(_ == name) }
+        .map { case (name, mk) =>
+          val t0 = System.nanoTime()
+          Bench.materialize(mk())
+          val sec = (System.nanoTime() - t0) / 1e9
+          CacheTracker.release(spark)
+          spark.catalog.clearCache()
+          System.err.println(f"[scaling-docs] rep=$rep cpus=$cpus $name: $sec%.2fs")
+          name -> sec
+        }.toMap
+    }.reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
+    results.toSeq.sortBy(_._1).foreach { case (k, sec) =>
+      println(f"""{"kernel":"$k","cpus":$cpus,"docs":$nDocs,"chars":$nChars,"sec":$sec%.3f,"chars_per_sec":${nChars / sec}%.1f,"input":"$path"}""")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = args.toList match {
     case "gen" :: nConvs :: nTools :: path :: Nil =>
       gen(nConvs.toLong, nTools.toInt, path)
+    case "gendocs" :: nDocs :: path :: Nil =>
+      genDocs(nDocs.toLong, path)
     case "measure" :: path :: cpus :: rest =>
       measure(path, cpus.toInt,
+        rest.headOption.map(_.toInt).getOrElse(2), rest.drop(1).headOption)
+    case "measuredocs" :: path :: cpus :: rest =>
+      measureDocs(path, cpus.toInt,
         rest.headOption.map(_.toInt).getOrElse(2), rest.drop(1).headOption)
     case "check" :: path :: shards :: Nil =>
       check(path, shards.toInt)
     case "hub" :: nLeaves :: rest =>
       hub(nLeaves.toLong, rest.headOption.map(_.toInt).getOrElse(2))
     case _ =>
-      System.err.println("usage: ScalingBench gen <nConvs> <nTools> <path> | measure <path> <cpus> [reps] [kernel] | check <path> <shards> | hub <nLeaves> [reps]")
+      System.err.println("usage: ScalingBench gen <nConvs> <nTools> <path> | gendocs <nDocs> <path> | measure <path> <cpus> [reps] [kernel] | measuredocs <path> <cpus> [reps] [kernel] | check <path> <shards> | hub <nLeaves> [reps]")
       sys.exit(2)
   }
 }

@@ -183,7 +183,21 @@ object Dedup {
     * SORTED hash arrays with the codegen'd two-pointer merge
     * ([[graft.expr.SortedIntersectCount]]). Every stage is codegen'd — the
     * portable hashes also make the whole pipeline DuckDB-oracle-checkable
-    * (round 2's last closable no-oracle row). */
+    * (round 2's last closable no-oracle row).
+    *
+    * Parameter contract at corpus scale (measured, round 6): "candidates
+    * proportional to true-duplicate density" holds only while the BACKGROUND
+    * Jaccard of unrelated same-language documents is far below the banding
+    * threshold s* = (1/bands)^(1/rows). Short shingles raise background J —
+    * at k=5 chars, unrelated docs share the language's common 5-grams
+    * (J ≈ 0.08 on a 500k-doc synthetic corpus), and the 16×4 banding's tail
+    * admits ~bands·J^rows of ALL pairs: measured 135M candidate rows there
+    * (quadratic in |docs|, small constant). The registered query keeps k=5
+    * because the driver-oracle corpora are ~300-char docs at tiny sf; at
+    * corpus scale use LONG shingles (k=13, the Gopher-style choice) — same
+    * plan, background J ≈ 0, candidates track planted dup density (7.0M on
+    * the same corpus, max band bucket 23). BENCH.md §dedup-scaling carries
+    * the measured rows. */
   def minhashLshPairs(
       docs: DataFrame,
       k: Int = 5,
@@ -269,7 +283,25 @@ object Dedup {
     * `sequence(0, 63)` per token; one compiled pass over (token, bit) replaced
     * it bit-for-bit (simhash64 3.34 → 0.23 s, neardup pairs 6.49 → 2.78 s at
     * sf0.1 — the pairs remainder is the banding self-join, as it should be).
-    * Still a pure per-row computation — the only shuffle is none at all. */
+    * Still a pure per-row computation — the only shuffle is none at all.
+    *
+    * Scale contract (measured, round 6): per-bit independence relies on the
+    * TOKEN HASHES spreading over the whole [0, p) range. Natural text does
+    * this for free (token length varies, and 31^len alone spans many
+    * multiples of p), but an adversarial token universe of fixed-length
+    * shared-prefix strings ("w"+5 digits, i.e. sequential ids) confines the
+    * rolling hashes to a ~1e7-wide interval — then the bit-i vote
+    * `parity((r(2i+1)+c_i) mod p)` never wraps for low i and collapses to
+    * `parity(K_i) XOR parity(δ)`: every document lands on one of TWO
+    * complementary low-band values and the banding self-join degenerates
+    * toward all-pairs (measured on a 500k-doc synthetic id-token corpus:
+    * 60% of docs in two complementary 16-bit buckets, 3.8e10 candidate
+    * pairs; with length-diverse tokens the same corpus yields 231k buckets,
+    * max 258, 1.9e7 candidates). If a corpus is id-like, pre-mix the tokens
+    * or use [[minhashLshPairs]], whose shingle hashes span windows and do
+    * not inherit the structure. Changing the vote mixer itself would fix
+    * this unconditionally but break the DuckDB-renderable oracle parity
+    * that motivates this hash. */
   def simhash(docs: DataFrame): DataFrame = {
     graft.expr.SimHash64.register(docs.sparkSession)
     docs.select(
