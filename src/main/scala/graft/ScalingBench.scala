@@ -204,9 +204,10 @@ object ScalingBench {
     * BEFORE the per-token affine walk — ANSI mode would overflow a full-range
     * 64-bit hash), generated distributed via `spark.range`: any scale
     * regenerates bit-identically, no driver-side materialization. */
-  private def genDocs(nDocs: Long, path: String): Unit = {
-    val spark = Bench.session("32")
-    spark.sparkContext.setLogLevel("WARN")
+  /** The corpus construction behind `gendocs`, exposed for GendocsSpec (which
+    * pins determinism, the planted near-dup cluster structure, and background
+    * selectivity — the properties the BENCH.md dedup-scaling rows rest on). */
+  private[graft] def docsCorpus(spark: SparkSession, nDocs: Long): DataFrame = {
     import org.apache.spark.sql.functions._
     // token = vocab word (length 3-9) + number: a ~48k-word universe whose
     // tokens VARY IN LENGTH. Both properties matter:
@@ -245,7 +246,13 @@ object ScalingBench {
     spark.range(nDocs)
       .select(col("id").as("doc_id"),
         concat_ws(" ", flatten(array(base, salt))).as("text"))
-      .write.mode("overwrite").parquet(path)
+  }
+
+  private def genDocs(nDocs: Long, path: String): Unit = {
+    val spark = Bench.session("32")
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    docsCorpus(spark, nDocs).write.mode("overwrite").parquet(path)
     val d = spark.read.parquet(path)
     val stats = d.agg(count(lit(1)), sum(length(col("text")))).first()
     println(s"""{"gendocs":"$path","docs":${stats.getLong(0)},"chars":${stats.getLong(1)}}""")
