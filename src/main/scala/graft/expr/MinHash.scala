@@ -33,36 +33,83 @@ object MinHashKernel {
   val P1 = 1000000007L
   val P2 = 1000000009L
 
+  /** Code points of `s`, as `String.codePointAt` would see them (a surrogate
+    * pair is one element). Valid UTF-8 — the only thing a parquet/JSON scan
+    * produces — is decoded straight off the bytes (no `toString`, no `char[]`
+    * copy, no per-window re-walk); anything `UTF8String.isValid` rejects falls
+    * back to the `toString` path so malformed bytes keep the exact legacy
+    * replacement-char hashes. */
+  private def codePoints(s: UTF8String): Array[Int] = {
+    if (s.isValid) {
+      val b = s.getBytes
+      val cps = new Array[Int](s.numChars())
+      var ci = 0
+      var i = 0
+      while (i < b.length) {
+        val b0 = b(i) & 0xff
+        if (b0 < 0x80) { cps(ci) = b0; i += 1 }
+        else if (b0 < 0xe0) {
+          cps(ci) = ((b0 & 0x1f) << 6) | (b(i + 1) & 0x3f); i += 2
+        } else if (b0 < 0xf0) {
+          cps(ci) = ((b0 & 0x0f) << 12) | ((b(i + 1) & 0x3f) << 6) | (b(i + 2) & 0x3f); i += 3
+        } else {
+          cps(ci) = ((b0 & 0x07) << 18) | ((b(i + 1) & 0x3f) << 12) |
+            ((b(i + 2) & 0x3f) << 6) | (b(i + 3) & 0x3f); i += 4
+        }
+        ci += 1
+      }
+      cps
+    } else {
+      val str = s.toString
+      val cps = new Array[Int](str.codePointCount(0, str.length))
+      var ci = 0
+      var si = 0
+      while (si < str.length) {
+        val cp = str.codePointAt(si)
+        cps(ci) = cp
+        ci += 1
+        si += Character.charCount(cp)
+      }
+      cps
+    }
+  }
+
   /** Combined shingle hashes of every k-code-point window, sorted distinct —
     * exactly `sort_array(collect_set(shingleHash(...)))` over the posexplode'd
     * windows. Fewer than k code points → empty array (the pipeline's
-    * `length(text) >= k` guard makes such rows unreachable in production). */
+    * `length(text) >= k` guard makes such rows unreachable in production).
+    *
+    * The window hashes ROLL: h(i+1) = (h(i) − cp(i)·31^(k−1))·31 + cp(i+k),
+    * all mod p — exact modular arithmetic, so the values are bit-identical to
+    * the direct per-window loop (and to the aggregate forms the kernel spec
+    * differentials against) at 2 multiplies per position instead of 2k. */
   def shingleSet(s: UTF8String, k: Int): Array[Long] = {
-    val str = s.toString
-    // code points, as substring/ascii saw them (a surrogate pair is one element)
-    val cps = new Array[Int](str.codePointCount(0, str.length))
-    var ci = 0
-    var si = 0
-    while (si < str.length) {
-      val cp = str.codePointAt(si)
-      cps(ci) = cp
-      ci += 1
-      si += Character.charCount(cp)
-    }
+    val cps = codePoints(s)
     val n = cps.length - k + 1
     if (n <= 0) return Array.emptyLongArray
+    // 31^(k-1) mod P1 and 131^(k-1) mod P2 for the outgoing code point
+    var pow1 = 1L
+    var pow2 = 1L
+    var j = 1
+    while (j < k) { pow1 = pow1 * 31 % P1; pow2 = pow2 * 131 % P2; j += 1 }
+    var h1 = 0L
+    var h2 = 0L
+    j = 0
+    while (j < k) {
+      val cp = cps(j)
+      h1 = (h1 * 31 + cp) % P1
+      h2 = (h2 * 131 + cp) % P2
+      j += 1
+    }
     val hs = new Array[Long](n)
-    var i = 0
+    hs(0) = h1 * P2 + h2
+    var i = 1
     while (i < n) {
-      var h1 = 0L
-      var h2 = 0L
-      var j = 0
-      while (j < k) {
-        val cp = cps(i + j)
-        h1 = (h1 * 31 + cp) % P1
-        h2 = (h2 * 131 + cp) % P2
-        j += 1
-      }
+      val out = cps(i - 1)
+      val in = cps(i + k - 1)
+      // cp·pow < 2^51, so the subtraction never overflows; floorMod re-centers
+      h1 = (java.lang.Math.floorMod(h1 - out * pow1, P1) * 31 + in) % P1
+      h2 = (java.lang.Math.floorMod(h2 - out * pow2, P2) * 131 + in) % P2
       hs(i) = h1 * P2 + h2
       i += 1
     }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.docs.Dedup
-import graft.expr.{MinHashSig, ShingleHashSet}
+import graft.expr.{MinHashKernel, MinHashSig, ShingleHashSet}
 
 /** The row-local minhash prep kernels: bit-for-bit equivalence with the
   * aggregate forms they replaced (reconstructed verbatim from
@@ -139,6 +139,17 @@ class MinHashKernelSpec extends AnyFunSuite {
       s2.conf.unset("spark.sql.codegen.fallback")
       s2.conf.unset("spark.sql.codegen.factoryMode")
     }
+  }
+
+  test("invalid UTF-8 routes through the toString fallback (legacy replacement-char hashes)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // a lone continuation byte and a truncated 3-byte sequence, embedded in text
+    val bad = UTF8String.fromBytes("abc".getBytes ++ Array(0x80.toByte, 0xe2.toByte) ++ "defgh".getBytes)
+    assert(!bad.isValid)
+    val viaString = UTF8String.fromString(bad.toString)
+    assert(MinHashKernel.shingleSet(bad, k).toSeq ===
+      MinHashKernel.shingleSet(viaString, k).toSeq)
+    assert(MinHashKernel.shingleSet(bad, k).nonEmpty)
   }
 
   test("contracts: null → null, empty signature input is a loud error") {
