@@ -141,6 +141,20 @@ class MinHashKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("rolling window hash == aggregate form at every k the engine uses (1, 2, 5, 13)") {
+    // the k=5 differentials above anchor the registered config; the scaling
+    // evidence runs k=13, and the rolling recurrence (subtract the outgoing
+    // code point's 31^(k-1) term, shift, add the incoming) must be bit-exact
+    // at EVERY k — including k=1 (pow = 1, window = single code point)
+    for (kk <- Seq(1, 2, 5, 13)) {
+      val docs = adversarialDF
+      val expected = collectSets(
+        Dedup.shingleHashes(docs, kk)
+          .groupBy("doc_id").agg(sort_array(collect_set(col("x"))).as("xs")))
+      assert(collectSets(Dedup.shingleSets(docs, kk)) === expected, s"k=$kk")
+    }
+  }
+
   test("invalid UTF-8 routes through the toString fallback (legacy replacement-char hashes)") {
     import org.apache.spark.unsafe.types.UTF8String
     // a lone continuation byte and a truncated 3-byte sequence, embedded in text
