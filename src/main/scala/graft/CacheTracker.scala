@@ -87,6 +87,37 @@ object CacheTracker {
     persisted
   }
 
+  /** Identity snapshot of the frames currently tracked for `spark`; pass to
+    * [[releaseAddedSince]] to drop only what an enclosed pipeline stage added.
+    * Used by round-scoped loops (ktruss peel): per-round persists must not
+    * accumulate toward the eviction bound across a deep peel. */
+  private[graft] def snapshot(spark: SparkSession): java.util.IdentityHashMap[DataFrame, java.lang.Boolean] = {
+    val m = new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]()
+    tracked.forEach(e => if (e._1 eq spark) m.put(e._2, java.lang.Boolean.TRUE))
+    m
+  }
+
+  /** Unpersist and untrack every frame of `spark` tracked AFTER `snap` was
+    * taken (round-6 verdict #5: each `ktrussEdges` peel round persists the
+    * round's `withW` and adjacency, and nothing released them until the
+    * harness's per-QUERY release — a deep peel churned toward the
+    * [[maxTrackedPerSession]] eviction bound and then silently recomputed.
+    * Rounds now release their own frames once the round's survivor set is
+    * materialized). Frames already tracked at snapshot time are untouched. */
+  private[graft] def releaseAddedSince(
+      spark: SparkSession,
+      snap: java.util.IdentityHashMap[DataFrame, java.lang.Boolean]): Unit = {
+    val it = tracked.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if ((e._1 eq spark) && !snap.containsKey(e._2)) {
+        it.remove()
+        try e._2.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+      }
+    }
+  }
+
   /** Unpersist every tracked frame of `spark` (non-blocking). */
   def release(spark: SparkSession): Unit = {
     val it = tracked.iterator()

@@ -26,18 +26,23 @@ object LabelProp {
       checkpointDir: Option[String] = None,
       checkpointEvery: Int = 5): DataFrame = {
     val spark = canonical.sparkSession
+    // LAZY checkpoints throughout (round-7): every eager localCheckpoint here
+    // was its own blocking job (sym, init, one per step — 4+ job round-trips
+    // per query); nothing reads an intermediate between steps, so the single
+    // final action materializes the whole chain in one job while each
+    // checkpoint still caches and truncates lineage exactly as before.
     val sym = GraphCore.symmetric(canonical)
       .repartition(col("src"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val (startIter, init) = checkpointDir.flatMap(Checkpoint.resume(spark, _)) match {
       case Some((i, snap)) => (i + 1, snap)
       case None =>
         (0, GraphCore.vertices(canonical).select(col("v"), col("v").as("label")))
     }
-    var labels = init.localCheckpoint(true)
+    var labels = init.localCheckpoint(false)
     var iter = startIter
     while (iter < iters) {
-      labels = step(sym, labels).localCheckpoint(true)
+      labels = step(sym, labels).localCheckpoint(false)
       checkpointDir.foreach { dir =>
         if ((iter + 1) % checkpointEvery == 0 || iter + 1 == iters)
           Checkpoint.save(labels, dir, iter)
@@ -58,12 +63,12 @@ object LabelProp {
     val sym = weighted.select(col("src"), col("dst"), col("w"))
       .unionAll(weighted.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       .repartition(col("src"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var labels = sym.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("label"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     for (_ <- 1 to iters)
-      labels = stepWeighted(sym, labels).localCheckpoint(true)
+      labels = stepWeighted(sym, labels).localCheckpoint(false)
     labels
   }
 

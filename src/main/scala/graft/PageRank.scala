@@ -155,6 +155,11 @@ object PageRank {
     ranks
   }
 
+  /** Fixed-iteration lineage-truncation period: every `lineageEvery` iterations
+    * the rank table gets a (lazy) localCheckpoint, bounding plan depth without
+    * a per-iteration cache materialization. */
+  private[graft] val lineageEvery = 5
+
   private def iterate(
       canonical: DataFrame,
       maxIter: Int,
@@ -188,16 +193,23 @@ object PageRank {
       // vertex has an in-neighbor and appears in the contribution aggregate —
       // the join would re-emit exactly these rows (one join + shuffle less per
       // iteration; the round-2 driver bench spent a third of PageRank there).
-      val next = links
+      val contrib = links
         .join(ranks.withColumnRenamed("v", "src"), "src")
         .select(col("dst").as("v"), (col("pr") / col("deg")).as("c"))
         .groupBy("v")
         .agg((lit(base) + lit(damping) * sum("c")).as("pr"))
-        // LAZY checkpoint: in tol mode the convergence delta action materializes
-        // it in the same job; in fixed-iteration mode all iterations pipeline into
-        // the final action as one job instead of one eager job per iteration —
-        // lineage still truncates at each checkpoint once materialized
-        .localCheckpoint(false)
+      // LAZY checkpoint: in tol mode the convergence delta action materializes
+      // it in the same job and EVERY iteration must truncate (the delta action
+      // re-reads `next` and `ranks`); in fixed-iteration mode nothing reads the
+      // intermediate ranks, so truncating every iteration only buys bounded
+      // lineage — checkpoint every [[lineageEvery]] iterations instead (plan
+      // depth stays ≤ lineageEvery joins: same scale safety, fewer rank-table
+      // cache materializations in the one final job)
+      val next =
+        if (tol.isDefined || (iter - startIter) % lineageEvery == lineageEvery - 1
+          || iter + 1 == maxIter)
+          contrib.localCheckpoint(false)
+        else contrib
       tol.foreach { t =>
         val delta = next
           .join(ranks.withColumnRenamed("pr", "pr_old"), "v")

@@ -112,10 +112,15 @@ object TriangleCount {
   /** Per-vertex triangle participation counts, including zero rows for vertices in
     * no triangle. Output (v, tri_cnt) — one row per vertex of the canonical set. */
   def perVertex(canonical: DataFrame, oriented: DataFrame): DataFrame = {
-    val tris = trianglesRelational(oriented)
-    val corners = tris.select(col("a").as("v"))
-      .unionAll(tris.select(col("b").as("v")))
-      .unionAll(tris.select(col("c").as("v")))
+    // ONE explode pass over the triangle rows instead of a 3-way unionAll of
+    // (a), (b), (c) selects: the union form replicated the whole 3-way-join
+    // subtree into all three branches, so the wedge join EXECUTED three times
+    // per query (round-7 plan audit: 3× BroadcastHashJoin chains feeding one
+    // Union — exchange reuse dedupes the scans but not the join probes). The
+    // explode emits the same three corner rows per triangle from a single join
+    // execution; counts are identical.
+    val corners = trianglesRelational(oriented)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("cnt"))
     GraphCore.vertices(canonical)
       .join(corners, Seq("v"), "left")
@@ -784,22 +789,32 @@ object TriangleCount {
     * registered query oracle-expressible in non-recursive SQL while this
     * production entry point runs to convergence.
     * Output: the surviving oriented edges (src, dst). */
-  def ktrussEdges(spark: SparkSession, oriented: DataFrame, k: Int, maxRounds: Int = 100): DataFrame = {
+  def ktrussEdges(spark: SparkSession, oriented: DataFrame, k: Int, maxRounds: Int = 100,
+      onRoundEnd: Int => Unit = _ => ()): DataFrame = {
     require(k >= 3, "k-truss needs k >= 3 (k = 2 is the whole graph)")
     var e = oriented.select(col("src"), col("dst")).localCheckpoint(true)
     var n = e.count()
     var round = 0
     var done = n == 0L
     while (!done && round < maxRounds) {
+      // round-scoped cache release (round-6 verdict #5): each round's
+      // edgeTriangleCounts call persists its witness table and (via
+      // ensurePersisted) the fresh adjacency; once the round's survivor set is
+      // an EAGER localCheckpoint nothing references them again — release them
+      // now instead of letting a deep peel accumulate toward CacheTracker's
+      // eviction bound (and from there into silent recompute)
+      val snap = CacheTracker.snapshot(spark)
       val kept = edgeTriangleCounts(spark, e, GraphCore.adjacency(e))
         .where(col("tri_cnt") >= k - 2)
         .select(col("src"), col("dst"))
         .localCheckpoint(true)
       val m = kept.count()
+      CacheTracker.releaseAddedSince(spark, snap)
       done = m == n || m == 0L
       e = kept
       n = m
       round += 1
+      onRoundEnd(round) // test seam: observe per-round tracked-cache state
     }
     e
   }

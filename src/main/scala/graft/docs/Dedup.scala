@@ -222,23 +222,25 @@ object Dedup {
         val b = df.queryExecution.optimizedPlan.stats.sizeInBytes
         if (b.isValidLong && b.toLong < (1L << 50)) f"${b.toLong / 1048576.0}%.1f MiB est" else "unknown"
       } catch { case _: Throwable => "unknown" }
-    // fan the TEXT out to the session's shuffle width ONCE, before hashing: the
+    // fan the TEXT out to the session's shuffle width ONCE, before hashing — but
+    // ONLY when the scan is under-split (the single-small-file rescue case): the
     // row-local kernels removed both prep exchanges, so parallelism would
     // otherwise equal the SCAN's split count — 1 for a small single-file input,
     // serializing the hashing, the banding, the self-join probe and the verify
-    // joins on one core. Exchanging the raw text (~1 byte/char) is cheaper than
-    // exchanging either the old per-shingle explode OR the hash arrays
-    // (8 bytes/shingle), and everything downstream of it is parallel; on a
-    // production multi-split scan it is a balance pass, not a rescue.
-    val fanned = docs.repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+    // joins on one core. On a production multi-split scan the input is already
+    // well distributed, and an unconditional repartition to
+    // spark.sql.shuffle.partitions would both pay a corpus-sized text shuffle
+    // AND collapse parallelism whenever the scan's split count exceeds that
+    // setting (the normal case at the 100 TB design point) — round-6 advice.
+    val nShuffle = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val fanned =
+      if (docs.rdd.getNumPartitions < nShuffle) docs.repartition(nShuffle) else docs
     val sets = graft.CacheTracker.persist(shingleSets(fanned, k), level)
     // persisted: BOTH sides of the candidate self-join read it — unpersisted,
     // the whole signature computation would run twice inside that job
     val banded = graft.CacheTracker.persist(signaturesFromSets(sets, perms)
       .select(col("doc_id"), posexplode(array((0 until bands).map(bandHash(_, rows)): _*)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bh")), level)
-    System.err.println(
-      s"[minhash] persisted (MEMORY_AND_DISK): sets ${estMb(sets)}, banded ${estMb(banded)}")
     // MATERIALIZE both caches before the join query is BUILT: the row-local
     // prep leaves pre-materialization size estimates at the scan-derived guess,
     // which undercounts the generated arrays by ~8 bytes/char — Catalyst
@@ -251,6 +253,16 @@ object Dedup {
     // caches exceed the threshold and take the shuffled sort-merge on the
     // compact numeric keys. No hints — the stats are the contract.
     banded.count()
+    // log AFTER the materializing count so the estimates read the COMPUTED
+    // InMemoryRelation sizes, not the scan-derived guess the adjacent comment
+    // calls an undercount (round-6 advice: the pre-count log printed "0.0 MiB
+    // est" in test runs, defeating the observability contract it cites).
+    // `.select("*")` builds a FRESH QueryExecution: the handles' own memoized
+    // plans were forced pre-materialization (inside CacheTracker.persist) and
+    // would keep reporting the stale guess.
+    System.err.println(
+      s"[minhash] persisted (MEMORY_AND_DISK): " +
+        s"sets ${estMb(sets.select(col("*")))}, banded ${estMb(banded.select(col("*")))}")
     val candidates = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -37,8 +37,10 @@ object MinHashKernel {
     * pair is one element). Valid UTF-8 — the only thing a parquet/JSON scan
     * produces — is decoded straight off the bytes (no `toString`, no `char[]`
     * copy, no per-window re-walk); anything `UTF8String.isValid` rejects falls
-    * back to the `toString` path so malformed bytes keep the exact legacy
-    * replacement-char hashes. */
+    * back to the legacy BYTE-WALK decode (numBytesForFirstByte boundaries,
+    * per-char `substring(i,1).toString.codePointAt(0)`) so malformed bytes
+    * keep the exact hashes of the pre-kernel `ascii(substring(...))` pipeline
+    * and of [[graft.docs.Dedup.shingleHashes]]. */
   private def codePoints(s: UTF8String): Array[Int] = {
     if (s.isValid) {
       val b = s.getBytes
@@ -60,15 +62,24 @@ object MinHashKernel {
       }
       cps
     } else {
-      val str = s.toString
-      val cps = new Array[Int](str.codePointCount(0, str.length))
-      var ci = 0
-      var si = 0
-      while (si < str.length) {
-        val cp = str.codePointAt(si)
-        cps(ci) = cp
-        ci += 1
-        si += Character.charCount(cp)
+      // Malformed bytes (isValid false): reproduce the LEGACY byte-walk
+      // windowing — per-"char" `ascii(substring(text, i, 1))` semantics, where
+      // the walk advances by numBytesForFirstByte (a truncated lead byte like
+      // 0xE2 swallows the following bytes as one char). The previous fallback
+      // decoded the WHOLE string via toString (0xE2 becomes one U+FFFD and the
+      // swallowed bytes survive as their own chars), so shingleSets diverged
+      // from shingleHashes — still in production for the contamination scan —
+      // on malformed-but-reachable input (round-6 advice, verified
+      // empirically: 'abc'+0xE2+'defgh' gave 3 legacy windows vs 5 kernel
+      // windows with different hashes). MinHashKernelSpec now carries a REAL
+      // legacy-vs-kernel differential on invalid bytes.
+      val n = s.numChars()
+      val cps = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        val ch = s.substring(i, i + 1).toString
+        cps(i) = if (ch.isEmpty) 0 else ch.codePointAt(0)
+        i += 1
       }
       cps
     }

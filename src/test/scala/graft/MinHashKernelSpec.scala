@@ -155,15 +155,34 @@ class MinHashKernelSpec extends AnyFunSuite {
     }
   }
 
-  test("invalid UTF-8 routes through the toString fallback (legacy replacement-char hashes)") {
+  test("invalid UTF-8: kernel == LEGACY byte-walk pipeline (real differential, not the " +
+    "round-6 tautology)") {
     import org.apache.spark.unsafe.types.UTF8String
-    // a lone continuation byte and a truncated 3-byte sequence, embedded in text
-    val bad = UTF8String.fromBytes("abc".getBytes ++ Array(0x80.toByte, 0xe2.toByte) ++ "defgh".getBytes)
-    assert(!bad.isValid)
-    val viaString = UTF8String.fromString(bad.toString)
-    assert(MinHashKernel.shingleSet(bad, k).toSeq ===
-      MinHashKernel.shingleSet(viaString, k).toSeq)
-    assert(MinHashKernel.shingleSet(bad, k).nonEmpty)
+    val s = spark
+    import s.implicits._
+    // Cases from the round-6 advice: a truncated 3-byte lead (0xE2 swallows the
+    // next 2 bytes as one byte-walk char — toString would instead keep them),
+    // a lone continuation byte, and a mix of both; BinaryType → StringType cast
+    // wraps the raw bytes unchecked, so the legacy SQL pipeline
+    // (Dedup.shingleHashes — substring/ascii byte-walk semantics) sees exactly
+    // the malformed UTF8String the kernel sees.
+    val cases = Seq(
+      "abc".getBytes ++ Array(0xe2.toByte) ++ "defgh".getBytes,
+      "abc".getBytes ++ Array(0x80.toByte, 0xe2.toByte) ++ "defgh".getBytes,
+      Array(0x80.toByte) ++ "abcdefg".getBytes ++ Array(0xf0.toByte, 0x9f.toByte))
+    for ((bytes, idx) <- cases.zipWithIndex) {
+      val bad = UTF8String.fromBytes(bytes)
+      assert(!bad.isValid, s"case $idx must be malformed")
+      val docs = Seq((1L, bytes)).toDF("doc_id", "bin")
+        .select(col("doc_id"), col("bin").cast("string").as("text"))
+      val legacy = Dedup.shingleHashes(docs, k)
+        .select("x").collect().map(_.getLong(0)).distinct.sorted.toSeq
+      assert(MinHashKernel.shingleSet(bad, k).toSeq === legacy,
+        s"case $idx: kernel fallback must reproduce the legacy byte-walk windows")
+      // and end-to-end through the registered expression
+      assert(collectSets(Dedup.shingleSets(docs, k)) === Map(1L -> legacy),
+        s"case $idx: shingleSets must keep matching shingleHashes on malformed input")
+    }
   }
 
   test("contracts: null → null, empty signature input is a loud error") {

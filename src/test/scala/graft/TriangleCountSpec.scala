@@ -366,6 +366,30 @@ class TriangleCountSpec extends AnyFunSuite {
     }
   }
 
+  test("k-truss peel releases round-scoped caches: tracked frames stay O(1) over a 5+-round peel") {
+    // deterministic 30-vertex hash-rule graph whose k=5 peel converges only
+    // after 9+ changing rounds (pinned by the maxRounds=4 differential below);
+    // round-6 verdict #5: per-round persists (withW + adjacency) must be
+    // released when the round's survivor set materializes, not accumulate
+    // toward CacheTracker's eviction bound across a deep peel
+    val es = for { i <- 0 until 30; j <- i + 1 until 30; if (i * 31 + j * 17) % 10 < 4 }
+      yield (i.toLong, j.toLong)
+    val oriented = GraphCore.orientClean(edgeDF(es)).localCheckpoint(true)
+    val before = CacheTracker.trackedCount(spark)
+    val perRound = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val full = TriangleCount.ktrussEdges(spark, oriented, 5,
+        onRoundEnd = _ => perRound += CacheTracker.trackedCount(spark))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(perRound.size >= 5, s"peel must run 5+ rounds, ran ${perRound.size}")
+    assert(perRound.forall(_ == before),
+      s"round-scoped frames must be released at end of round: $perRound (baseline $before)")
+    val capped = TriangleCount.ktrussEdges(spark, oriented, 5, maxRounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped !== full, "the peel must still be in motion after 4 rounds")
+    assert(full.subsetOf(capped), "later rounds only remove edges")
+    CacheTracker.release(spark)
+  }
+
   test("edge triangle membership: every triangle credits its three edges (sum = 3x total)") {
     val oriented = GraphCore.orientClean(edgeDF(fixtures.nvgraph8))
     val cnts = TriangleCount.edgeTriangleCounts(spark, oriented, GraphCore.adjacency(oriented))
