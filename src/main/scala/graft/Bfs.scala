@@ -60,7 +60,11 @@ object Bfs {
         .join(settled.select("v"), Seq("v"), "left_anti")
         .select(col("v"), lit(r.toLong).as("dist"))
         .localCheckpoint(false)
-      settled = settled.unionAll(next).localCheckpoint(false)
+      // plain union of the per-round CACHED frontiers (round-7): checkpointing
+      // the union re-cached the whole growing settled set every round —
+      // O(n·rounds) duplicate cache writes; the union of cached frames costs
+      // nothing to re-read and its lineage depth is bounded by the round budget
+      settled = settled.unionAll(next)
       frontier = next
     }
     sym.unpersist()
@@ -95,7 +99,11 @@ object Bfs {
         .join(settled.select("s", "v"), Seq("s", "v"), "left_anti")
         .select(col("s"), col("v"), lit(r.toLong).as("dist"))
         .localCheckpoint(false)
-      settled = settled.unionAll(next).localCheckpoint(false)
+      // plain union of the per-round CACHED frontiers (round-7): checkpointing
+      // the union re-cached the whole growing settled set every round —
+      // O(n·rounds) duplicate cache writes; the union of cached frames costs
+      // nothing to re-read and its lineage depth is bounded by the round budget
+      settled = settled.unionAll(next)
       frontier = next
     }
     sym.unpersist()

@@ -67,9 +67,13 @@ object Bipartite {
       .where(col("a") < col("b"))
       .groupBy("a", "b")
       .agg(count(lit(1)).as("cn"))
+    // ONE explode pass instead of a 2-way unionAll of (a)/(b) selects: the
+    // union form replicated the unpersisted wedge join+aggregation subtree
+    // into both branches, executing it twice per query (the round-7
+    // triangles_per_vertex finding, same fix — identical rows)
     val credits = cn
-      .select(col("a").as("v"), (col("cn") * (col("cn") - lit(1L))).as("c2"))
-      .unionAll(cn.select(col("b").as("v"), (col("cn") * (col("cn") - lit(1L))).as("c2")))
+      .select(explode(array(col("a"), col("b"))).as("v"),
+        (col("cn") * (col("cn") - lit(1L))).as("c2"))
       .groupBy("v")
       .agg(call_function("div", sum(col("c2")), lit(2L)).as("butterflies"))
     membership.select(col(leftCol).as("v")).distinct()

@@ -46,6 +46,12 @@ object Components {
         least(col("src"), col("dst")).as("dst"))
       .distinct()
       .localCheckpoint(false)
+    // the CHECKPOINTED initial edge set also serves the final vertex-set
+    // derivation (round-7): referencing `canonical` again there re-executed the
+    // caller's whole upstream pipeline twice more — for the dedup/embed cluster
+    // queries that upstream is the entire near-dup-pairs computation. Same
+    // vertex set: e0 is `canonical` with per-edge orientation flipped.
+    val e0 = edges
     var prev = checksum(edges) // first action → materializes the lazy checkpoint
     var round = 0
     var converged = false
@@ -68,7 +74,7 @@ object Components {
       round += 1
     }
     val parents = edges.groupBy(col("src").as("v")).agg(min(col("dst")).as("p"))
-    GraphCore.vertices(canonical)
+    GraphCore.vertices(e0)
       .join(parents, Seq("v"), "left")
       .select(col("v"), coalesce(col("p"), col("v")).as("component"))
   }
@@ -87,6 +93,7 @@ object Components {
         least(col("src"), col("dst")).as("dst"))
       .distinct()
       .localCheckpoint(false)
+    val e0 = edges // serves the final vertex derivation too — see [[run]]
     var prev = checksum(edges, Seq(key))
     var round = 0
     var converged = false
@@ -98,8 +105,8 @@ object Components {
       round += 1
     }
     val parents = edges.groupBy(k, col("src").as("v")).agg(min(col("dst")).as("p"))
-    keyed.select(k, col("src").as("v"))
-      .unionAll(keyed.select(k, col("dst").as("v")))
+    e0.select(k, col("src").as("v"))
+      .unionAll(e0.select(k, col("dst").as("v")))
       .distinct()
       .join(parents, Seq(key, "v"), "left")
       .select(k, col("v"), coalesce(col("p"), col("v")).as("component"))

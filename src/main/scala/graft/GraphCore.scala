@@ -174,7 +174,9 @@ object GraphCore {
     * peels, a well-defined semantics of its own. */
   def kcoreEdges(canonical: DataFrame, k: Int, maxRounds: Int = 100): DataFrame = {
     require(k >= 1, "k-core needs k >= 1")
-    var e = canonical.select(col("src"), col("dst")).localCheckpoint(true)
+    // lazy checkpoints: the count()s materialize them in the same job (one job
+    // per round instead of an eager-checkpoint job THEN a count job — round 7)
+    var e = canonical.select(col("src"), col("dst")).localCheckpoint(false)
     var n = e.count()
     var round = 0
     var done = n == 0L
@@ -184,8 +186,8 @@ object GraphCore {
         .join(low.withColumnRenamed("v", "src"), Seq("src"), "left_anti")
         .join(low.withColumnRenamed("v", "dst"), Seq("dst"), "left_anti")
         .select(col("src"), col("dst"))
-        .localCheckpoint(true)
-      val m = kept.count()
+        .localCheckpoint(false)
+      val m = kept.count() // materializes the lazy checkpoint
       done = m == n || m == 0L
       e = kept
       n = m
@@ -209,7 +211,11 @@ object GraphCore {
     * Output one row (assortativity), NULL for degree-regular graphs (zero
     * variance). */
   def assortativity(canonical: DataFrame): DataFrame = {
-    val deg = degrees(canonical)
+    // persisted (round-7): both endpoint legs join the degree table — without
+    // it the degree aggregation ran twice (exchange reuse dedupes the shuffle
+    // but not the post-shuffle aggregate); at scale this is a full second pass
+    // over the edge partials
+    val deg = CacheTracker.persist(degrees(canonical))
     val sym = symmetric(canonical)
       .join(deg.select(col("v").as("src"), col("deg").as("dx")), "src")
       .join(deg.select(col("v").as("dst"), col("deg").as("dy")), "dst")

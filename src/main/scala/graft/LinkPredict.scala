@@ -74,8 +74,14 @@ object LinkPredict {
     * distance-2 pairs (bounded by the wedge count), not the corpus. */
   def similarTopK(canonical: DataFrame, k: Int = 3, maxMiddleDegree: Long = Long.MaxValue): DataFrame = {
     val s = scores(canonical, maxMiddleDegree)
-    val sym = s.select(col("u").as("v"), col("w").as("nbr"), col("jac"))
-      .unionAll(s.select(col("w").as("v"), col("u").as("nbr"), col("jac")))
+    // ONE explode pass instead of a 2-way unionAll of (u,w)/(w,u) selects: the
+    // union form replicated the whole unpersisted wedge-aggregation subtree
+    // into both branches, executing it twice per query (the round-7
+    // triangles_per_vertex finding, same fix — identical rows)
+    val sym = s.select(explode(array(
+        struct(col("u").as("v"), col("w").as("nbr"), col("jac")),
+        struct(col("w").as("v"), col("u").as("nbr"), col("jac")))).as("e"))
+      .select(col("e.v").as("v"), col("e.nbr").as("nbr"), col("e.jac").as("jac"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("v")).orderBy(col("jac").desc, col("nbr").asc)
     sym.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= k)

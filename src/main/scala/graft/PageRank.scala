@@ -46,8 +46,14 @@ object PageRank {
     * left-to-right SQL evaluation so rounded ranks can never drift.
     * Output (v, pr). */
   def weightedFixedIterations(weighted: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
-    val sym = weighted.select(col("src"), col("dst"), col("w"))
-      .unionAll(weighted.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    // persisted (round-7): sym feeds three branches (wdeg, the links join, and
+    // the vertex set) and `weighted` is typically an UNCACHED derivation
+    // (scan + window + aggregate) — unpersisted, that whole upstream executed
+    // three times before the first iteration even started
+    val sym = CacheTracker.persist(
+      weighted.select(col("src"), col("dst"), col("w"))
+        .unionAll(weighted.select(col("dst").as("src"), col("src").as("dst"), col("w"))),
+      StorageLevel.MEMORY_AND_DISK)
     val wdeg = sym.groupBy("src").agg(sum(col("w")).as("wdeg"))
     val links = sym.join(wdeg, "src")
       .select(col("src"), col("dst"), col("w"), col("wdeg"))
@@ -67,6 +73,9 @@ object PageRank {
     }
     links.unpersist()
     verts.unpersist()
+    // sym stays tracker-persisted until the harness releases the query: an
+    // eager unpersist here would drop the cache BEFORE the caller's action
+    // materializes the (lazy) rank chain that still reads it
     ranks
   }
 

@@ -56,10 +56,15 @@ object Temporal {
     * the intersection is an equi-join co-partitioned on (user, day+1, type);
     * the stitch joins two (user, day)-sized summaries. */
   def userActivityDrift(events: DataFrame): DataFrame = {
-    val ud = events
+    // persisted (round-7): `ud` feeds three plan branches (sizes + both
+    // intersection sides) and `sizes` two — unpersisted, exchange reuse
+    // dedupes the distinct's shuffle but its post-shuffle dedup aggregate
+    // still re-ran per branch
+    val ud = graft.CacheTracker.persist(events
       .select(col("user_id"), col("ts").cast("date").as("day"), col("event_type"))
-      .distinct()
-    val sizes = ud.groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("n"))
+      .distinct())
+    val sizes = graft.CacheTracker.persist(
+      ud.groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("n")))
     val nxt = ud.select(col("user_id").as("u2"), col("day").as("nday"), col("event_type").as("t2"))
     val common = ud
       .join(nxt, col("user_id") === col("u2") && date_add(col("day"), 1) === col("nday")

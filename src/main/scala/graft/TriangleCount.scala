@@ -94,7 +94,11 @@ object TriangleCount {
     val coin = pmod(leg(p1, 31L) + leg(p2, 131L), lit(100L))
     val sampled = canonical.where(coin < ratePct)
     val scale = { val f = 100L / ratePct; f * f * f }
-    globalRelational(GraphCore.orient(sampled, GraphCore.degrees(sampled)))
+    // persisted (round-7): the 3-way count references the sampled orientation
+    // three times — unpersisted (unlike the memoized orientedOf the headline
+    // queries share), the whole orient-join subtree executed per branch
+    globalRelational(CacheTracker.persist(
+        GraphCore.orient(sampled, GraphCore.degrees(sampled))))
       .select(col("triangles").as("sampled_triangles"),
         (col("triangles") * lit(scale)).as("estimate"))
   }
@@ -792,7 +796,9 @@ object TriangleCount {
   def ktrussEdges(spark: SparkSession, oriented: DataFrame, k: Int, maxRounds: Int = 100,
       onRoundEnd: Int => Unit = _ => ()): DataFrame = {
     require(k >= 3, "k-truss needs k >= 3 (k = 2 is the whole graph)")
-    var e = oriented.select(col("src"), col("dst")).localCheckpoint(true)
+    // lazy checkpoints: the count()s materialize them in the same job (one job
+    // per round instead of an eager-checkpoint job THEN a count job — round 7)
+    var e = oriented.select(col("src"), col("dst")).localCheckpoint(false)
     var n = e.count()
     var round = 0
     var done = n == 0L
@@ -800,15 +806,15 @@ object TriangleCount {
       // round-scoped cache release (round-6 verdict #5): each round's
       // edgeTriangleCounts call persists its witness table and (via
       // ensurePersisted) the fresh adjacency; once the round's survivor set is
-      // an EAGER localCheckpoint nothing references them again — release them
+      // checkpointed and counted nothing references them again — release them
       // now instead of letting a deep peel accumulate toward CacheTracker's
       // eviction bound (and from there into silent recompute)
       val snap = CacheTracker.snapshot(spark)
       val kept = edgeTriangleCounts(spark, e, GraphCore.adjacency(e))
         .where(col("tri_cnt") >= k - 2)
         .select(col("src"), col("dst"))
-        .localCheckpoint(true)
-      val m = kept.count()
+        .localCheckpoint(false)
+      val m = kept.count() // materializes the lazy checkpoint
       CacheTracker.releaseAddedSince(spark, snap)
       done = m == n || m == 0L
       e = kept

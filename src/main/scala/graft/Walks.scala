@@ -76,6 +76,13 @@ object Walks {
       cur = cur
         .join(adj, cur("v") === adj("av"))
         .select(col("walk_id"), lit(s.toLong).as("step"), pick(col("v"), s).as("v"))
+        // LAZY checkpoint per step (round-7): without it the final union's
+        // branch for step s re-executed the whole s-join chain from the start
+        // sample — Σ s = steps(steps+1)/2 join executions instead of `steps`
+        // (nothing shares the un-cached subtrees; exchange reuse cannot help a
+        // broadcast-join chain). Cached per step, each join runs once and the
+        // union reads the cached frontiers.
+        .localCheckpoint(false)
       acc = acc.unionAll(cur)
     }
     acc

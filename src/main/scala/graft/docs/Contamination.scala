@@ -31,14 +31,18 @@ object Contamination {
       evalPred: Column,
       k: Int = 5,
       threshold: Double = 0.5): DataFrame = {
-    val hashed = Dedup.shingleHashes(docs, k)
-    val evalIds = docs.where(evalPred).select(col("doc_id"))
-    // the eval hash set: small by contract — deduplicate, then broadcast
+    // Split the corpus BY PREDICATE before shingling (round-7): the previous
+    // form shingle-exploded the WHOLE corpus once, then carved out the eval
+    // side with an id join and the train side with an anti-join — the
+    // unpersisted explode subtree executed twice and both joins shipped the
+    // full per-shingle row set. Filtering first runs the explode once per
+    // (disjoint) side — the expensive train side only over non-eval docs —
+    // and the joins disappear. `!coalesce(pred, false)` reproduces the
+    // anti-join's null semantics exactly: a null predicate row is NOT eval.
     val evalHashes = broadcast(
-      hashed.join(evalIds, "doc_id").select(col("x")).distinct()
+      Dedup.shingleHashes(docs.where(evalPred), k).select(col("x")).distinct()
         .withColumn("hit", lit(1)))
-    val train = hashed
-      .join(evalIds, Seq("doc_id"), "left_anti")
+    val train = Dedup.shingleHashes(docs.where(!coalesce(evalPred, lit(false))), k)
       .distinct() // per-doc distinct shingles — overlap is a set ratio
     val ratio = col("n_hit").cast("double") / col("n_shingles")
     train
