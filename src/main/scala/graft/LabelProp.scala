@@ -37,7 +37,13 @@ object LabelProp {
     val (startIter, init) = checkpointDir.flatMap(Checkpoint.resume(spark, _)) match {
       case Some((i, snap)) => (i + 1, snap)
       case None =>
-        (0, GraphCore.vertices(canonical).select(col("v"), col("v").as("label")))
+        // vertex set from the CHECKPOINTED sym (every vertex appears as src in
+        // the symmetrized table — identical set): the distinct inherits sym's
+        // hash(src) partitioning, so it plans with NO exchange, vs the
+        // union + full-shuffle distinct of vertices(canonical) (round 7;
+        // runWeighted already did it this way)
+        (0, sym.select(col("src").as("v")).distinct()
+          .select(col("v"), col("v").as("label")))
     }
     var labels = init.localCheckpoint(false)
     var iter = startIter
