@@ -63,13 +63,13 @@ object PageRank {
     val n = verts.count()
     val base = (1.0 - damping) / n
     var ranks = verts.select(col("v"), lit(1.0 / n).as("pr")).localCheckpoint(false)
-    for (_ <- 1 to iters) {
-      ranks = links
+    for (i <- 1 to iters) {
+      val contrib = links
         .join(ranks.withColumnRenamed("v", "src"), "src")
         .select(col("dst").as("v"), (col("pr") * col("w") / col("wdeg")).as("c"))
         .groupBy("v")
         .agg((lit(base) + lit(damping) * sum("c")).as("pr"))
-        .localCheckpoint(false)
+      ranks = if (i % lineageEvery == 0 || i == iters) contrib.localCheckpoint(false) else contrib
     }
     links.unpersist()
     verts.unpersist()
@@ -108,14 +108,17 @@ object PageRank {
     var ranks = verts.join(n, key)
       .select(k, col("v"), (lit(1.0) / col("n")).as("pr"), col("n"))
       .localCheckpoint(false)
-    for (_ <- 1 to iters) {
-      ranks = links
+    for (i <- 1 to iters) {
+      val contrib = links
         .join(ranks.withColumnRenamed("v", "src"), Seq(key, "src"))
         .select(k, col("dst").as("v"), (col("pr") / col("deg")).as("c"), col("n"))
         .groupBy(k, col("v"))
         .agg(((lit(1.0 - damping) / max(col("n"))) + lit(damping) * sum(col("c"))).as("pr"),
           max(col("n")).as("n"))
-        .localCheckpoint(false)
+      // fixed-iteration mode: nothing reads intermediate ranks — truncate
+      // lineage every [[lineageEvery]] iterations (the round-7 [[iterate]]
+      // discipline), not per iteration
+      ranks = if (i % lineageEvery == 0 || i == iters) contrib.localCheckpoint(false) else contrib
     }
     links.unpersist()
     ranks.select(k, col("v"), col("pr"))
@@ -151,13 +154,13 @@ object PageRank {
     def tele(v: Column, mass: Double): Column =
       when(isSource(v), lit(mass / nS)).otherwise(lit(0.0))
     var ranks = verts.select(col("v"), tele(col("v"), 1.0).as("pr")).localCheckpoint(false)
-    for (_ <- 1 to iters) {
-      ranks = links
+    for (i <- 1 to iters) {
+      val contrib = links
         .join(ranks.withColumnRenamed("v", "src"), "src")
         .select(col("dst").as("v"), (col("pr") / col("deg")).as("c"))
         .groupBy("v")
         .agg((tele(col("v"), 1.0 - damping) + lit(damping) * sum("c")).as("pr"))
-        .localCheckpoint(false)
+      ranks = if (i % lineageEvery == 0 || i == iters) contrib.localCheckpoint(false) else contrib
     }
     links.unpersist()
     verts.unpersist()
