@@ -59,7 +59,12 @@ object PageRank {
       .select(col("src"), col("dst"), col("w"), col("wdeg"))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val verts = sym.select(col("src").as("v")).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    // vertex set from the PERSISTED links table (the inner wdeg join preserves
+    // every sym row, and every vertex appears as src in sym — identical set):
+    // the distinct inherits links' hash(src) partitioning and plans with NO
+    // exchange, vs an edge-scale shuffle of the unpartitioned sym rows
+    // (round 7 — the LabelProp.run label-init derivation, applied here)
+    val verts = links.select(col("src").as("v")).distinct().persist(StorageLevel.MEMORY_AND_DISK)
     val n = verts.count()
     val base = (1.0 - damping) / n
     var ranks = verts.select(col("v"), lit(1.0 / n).as("pr")).localCheckpoint(false)
@@ -103,7 +108,12 @@ object PageRank {
     val links = sym.join(deg, Seq(key, "src"))
       .repartition(k, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val verts = sym.select(k, col("src").as("v")).distinct()
+    // vertex set from the PERSISTED links table (inner deg join preserves
+    // every sym row; every vertex appears as src — identical set): the
+    // distinct reuses links' hash(key, src) partitioning with NO exchange,
+    // and the two references below (the n counts and the init join) read the
+    // cache instead of re-executing the lazy sym union twice (round 7)
+    val verts = links.select(k, col("src").as("v")).distinct()
     val n = verts.groupBy(k).agg(count(lit(1)).as("n"))
     var ranks = verts.join(n, key)
       .select(k, col("v"), (lit(1.0) / col("n")).as("pr"), col("n"))
@@ -148,7 +158,9 @@ object PageRank {
       .select(col("src"), col("dst"), col("deg"))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val verts = GraphCore.vertices(canonical).persist(StorageLevel.MEMORY_AND_DISK)
+    // vertex set from the PERSISTED links table — no union+distinct exchange
+    // over the raw endpoints; identical set (see [[iterate]], round 7)
+    val verts = links.select(col("src").as("v")).distinct().persist(StorageLevel.MEMORY_AND_DISK)
     val nS = verts.where(isSource(col("v"))).count()
     require(nS > 0, "personalized PageRank needs at least one source vertex")
     def tele(v: Column, mass: Double): Column =
@@ -188,7 +200,13 @@ object PageRank {
       .select(col("src"), col("dst"), col("deg"))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val verts = GraphCore.vertices(canonical).persist(StorageLevel.MEMORY_AND_DISK)
+    // vertex set from the PERSISTED links table: every vertex appears as src
+    // in the symmetrized sym, and the inner degree join preserves every sym
+    // row — identical set. The distinct inherits links' hash(src)
+    // partitioning and plans with NO exchange, vs the union + full-shuffle
+    // distinct of vertices(canonical) — an EDGE-scale exchange at the 100 TB
+    // design point (round 7; the LabelProp.run init uses the same derivation)
+    val verts = links.select(col("src").as("v")).distinct().persist(StorageLevel.MEMORY_AND_DISK)
     val n = verts.count()
     val base = (1.0 - damping) / n
 

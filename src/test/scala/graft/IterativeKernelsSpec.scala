@@ -124,6 +124,31 @@ class PageRankSpec extends AnyFunSuite {
     vs.zip(pr).toMap
   }
 
+  test("links-derived vertex set covers dst-only vertices in every entry point") {
+    // round 7: all four kernels derive their vertex set from the persisted
+    // links table (src side of the symmetrized edges) instead of a
+    // union+distinct over the raw endpoints — this pins the invariant that
+    // derivation relies on (every vertex appears as src in sym) on a graph
+    // whose max vertex appears ONLY as dst in canonical orientation
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val es = Seq((1L, 5L), (2L, 5L), (3L, 5L)) // 5 is dst-only in canonical form
+    val canonical = GraphCore.clean(edgeDF(es))
+    val want = Set(1L, 2L, 3L, 5L)
+    def vs(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("v").collect().map(_.getLong(0)).toSet
+    assert(vs(PageRank.fixedIterations(canonical, 2)) === want)
+    assert(vs(PageRank.personalizedFixedIterations(canonical, v => pmod(v, lit(2)) === 1, 2)) === want)
+    assert(vs(PageRank.weightedFixedIterations(
+      canonical.withColumn("w", lit(2L)), 2)) === want)
+    val d = java.sql.Date.valueOf("2024-03-01")
+    val keyed = PageRank.fixedIterationsKeyed(
+      es.map { case (a, b) => (d, a, b) }.toDF("day", "src", "dst"), 2)
+    assert(keyed.select("v").collect().map(_.getLong(0)).toSet === want)
+    CacheTracker.release(spark)
+  }
+
   test("symmetric triangle converges to uniform 1/3") {
     val got = PageRank.run(GraphCore.clean(edgeDF(fixtures.tri1)), maxIter = 100)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
