@@ -61,9 +61,66 @@ object Dedup {
           i => substring(col("text"), i, lit(k))))).as("sh"))
 
   /** Exact n-gram Jaccard similarity for all pairs at or above `threshold`.
-    * Output (a, b, jac) with a < b, jac rounded to 6. O(pairs sharing a shingle) —
-    * the small-scale correctness anchor for [[minhashLshPairs]]. */
+    * Output (a, b, jac) with a < b, jac rounded to 6, pairs sharing ≥ 1
+    * shingle — the small-scale correctness anchor for [[minhashLshPairs]]
+    * (which remains the 100 TB scale path).
+    *
+    * Round 7: Θ(n²) per-pair two-pointer intersection over the row-local
+    * compiled shingle-hash sets ([[shingleSets]] +
+    * [[graft.expr.SortedIntersectCount]] — the minhash verify kernels), the
+    * same brute anchor shape as [[simhashNearDupPairsBrute]] and the embed
+    * anchors. The previous pairs-sharing-a-shingle self-join + count
+    * ([[ngramJaccardPairsShingleJoin]], kept as the differential twin)
+    * enumerates Σ_sh C(n_sh,2) co-occurrence rows — 769M at sf0.1, 81% of
+    * them from the 159 hottest of only 2,041 distinct shingles, a join-OUTPUT
+    * explosion AQE's skew handling cannot split (the join INPUTS are tiny) —
+    * measured 438 s vs 6.3-7.9 s for this form at sf0.1/local[32],
+    * row-exact equal output. On a sparse corpus the join form's
+    * candidates-only enumeration wins asymptotically; at this anchor's
+    * documented scale the dense-overlap regime (background J ≈ 0.18) makes
+    * the candidate set ≈ all pairs anyway, so brute is strictly better.
+    *
+    * Intersection counts run over the ~60-bit portable shingle hashes:
+    * identical to string counts while the hash is injective on the corpus's
+    * shingle universe (verified 2,041 = 2,041 at sf0.1; structural odds
+    * ~S²/2^61 — the same equality-by-hash contract as [[exact]] and the
+    * minhash verify). The DuckDB oracle stays string-based and re-pins value
+    * equality every round. The `i > 0` guard preserves the join form's
+    * "pairs sharing a shingle" row set at EVERY threshold, including 0. */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 5, threshold: Double = 0.35): DataFrame = {
+    graft.expr.SortedIntersectCount.register(docs.sparkSession)
+    // fan the text to the shuffle width ONLY when the scan is under-split (the
+    // single-small-file rescue, same gating as minhashLshPairs): the row-local
+    // kernel otherwise inherits the scan's parallelism — 1 task for a small
+    // single-file input, serializing the whole n² loop on one core
+    val nShuffle = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val fanned =
+      if (docs.rdd.getNumPartitions < nShuffle) docs.repartition(nShuffle) else docs
+    // persisted: both join sides read it — unpersisted, the text hashing runs
+    // twice (once in the broadcast build, once on the stream side)
+    val sets = graft.CacheTracker.persist(shingleSets(fanned, k)
+      .select(col("doc_id"), col("xs"), size(col("xs")).cast("long").as("n")))
+    val a = sets.select(col("doc_id").as("a"), col("xs").as("xa"), col("n").as("na"))
+    val b = sets.select(col("doc_id").as("b"), col("xs").as("xb"), col("n").as("nb"))
+    // explicit broadcast: the anchor's contract is oracle/test scale, where one
+    // side always fits (the scale path is minhashLshPairs) — without the hint
+    // the planner would fall back to a cartesian on the same pair loop
+    broadcast(a).join(b, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        call_function(graft.expr.SortedIntersectCount.name, col("xa"), col("xb")).as("i"),
+        col("na"), col("nb"))
+      .where(col("i") > 0)
+      .select(col("a"), col("b"),
+        round(col("i") / (col("na") + col("nb") - col("i")), 6).as("jac"))
+      .where(col("jac") >= threshold)
+  }
+
+  /** The pre-round-7 pairs-sharing-a-shingle form of [[ngramJaccardPairs]] —
+    * string join keys, co-occurrence count as the intersection. Kept as the
+    * hash-free differential twin (DocsSpec pins brute == join on seeded
+    * corpora); would win on a sparse corpus where candidates ≪ n². */
+  private[graft] def ngramJaccardPairsShingleJoin(
+      docs: DataFrame, k: Int = 5, threshold: Double = 0.35): DataFrame = {
     // persisted: referenced three times (both self-join sides + sizes) — without it
     // the shingle explode runs three times per query
     val sh = graft.CacheTracker.persist(shingles(docs, k))

@@ -114,6 +114,33 @@ class DedupSpec extends AnyFunSuite {
     assert(self.length === 1 && self.head.getDouble(2) === 1.0)
   }
 
+  test("brute sorted-intersect form equals the shingle-join twin on seeded corpora") {
+    // round 7: ngramJaccardPairs is the Θ(n²) two-pointer form over compiled
+    // hash sets; the pre-round-7 string-join plan is kept as the hash-free
+    // differential twin. Row-exact equality, including threshold 0.0 (where
+    // the i > 0 guard must keep shingle-disjoint pairs absent, matching the
+    // join form's pairs-sharing-a-shingle row set).
+    for (seed <- 1 to 3; threshold <- Seq(0.0, 0.3)) {
+      val rnd = new scala.util.Random(seed)
+      val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+      def doc() = Seq.fill(8 + rnd.nextInt(8))(words(rnd.nextInt(words.length))).mkString(" ")
+      val base = (0L until 20L).map(i => i -> doc())
+      // a few near-duplicates + one shingle-disjoint doc (no 5-gram shared)
+      val df = (base ++ Seq(100L -> (base(0)._2 + " omega"), 101L -> base(1)._2,
+        200L -> "zzzzzzzzzz")).toDF("doc_id", "text")
+      val brute = Dedup.ngramJaccardPairs(df, k = 5, threshold = threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      CacheTracker.release(spark)
+      val join = Dedup.ngramJaccardPairsShingleJoin(df, k = 5, threshold = threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      CacheTracker.release(spark)
+      assert(brute === join, s"seed=$seed threshold=$threshold")
+      if (threshold == 0.0)
+        assert(!brute.exists(t => t._1 == 200L || t._2 == 200L),
+          s"shingle-disjoint doc must produce no pairs even at threshold 0 (seed=$seed)")
+    }
+  }
+
   test("minhash LSH candidates recover all exact-jaccard pairs on this corpus") {
     val exact = Dedup.ngramJaccardPairs(docsDF, k = 5, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
