@@ -11,6 +11,19 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Fan an under-split scan out to the session's shuffle width (the
+    * single-small-file rescue case — the minhashLshPairs gating, round 7):
+    * a production multi-split scan keeps its partitioning (no text shuffle,
+    * no parallelism collapse when splits exceed the setting); a single-file
+    * local input stops serializing a heavy per-row map stage on one core.
+    * Only worth the gate check for the HEAVY per-row operators (n-gram
+    * building, full-vocabulary explode) — the cheap per-row scans finish in
+    * well under a second even single-task. */
+  private[graft] def fanned(docs: DataFrame): DataFrame = {
+    val nShuffle = docs.sparkSession.sessionState.conf.numShufflePartitions
+    if (docs.rdd.getNumPartitions < nShuffle) docs.repartition(nShuffle) else docs
+  }
+
   /** Whitespace token count: split on single space, drop empties. */
   def tokenCountCol(text: Column): Column =
     size(filter(split(text, " "), _ =!= "")).cast("long")
@@ -111,7 +124,9 @@ object TextOps {
   /** Gopher-style repetition signal: the fraction of duplicate word `n`-grams
     * (Rae et al. 2021 use duplicate n-gram fractions as a core quality rule —
     * templated/spammy documents repeat themselves). All per-row array
-    * arithmetic, NO shuffle: grams are built with `sequence`+`transform`
+    * arithmetic; the only exchange is the GATED under-split fan-out
+    * ([[fanned]] — a no-op on a production multi-split scan). Grams are
+    * built with `sequence`+`transform`
     * (interpreted HOF — acceptable here because the work is embarrassingly
     * parallel scalar text prep, not a hot shuffled inner loop) and deduped with
     * `array_distinct`. Docs with fewer than `n` tokens score 0.
@@ -123,7 +138,7 @@ object TextOps {
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
       .otherwise(array().cast("array<string>"))
-    docs
+    fanned(docs)
       .select(col("doc_id"), grams.as("grams"))
       .select(col("doc_id"),
         size(col("grams")).cast("long").as("n_grams"),
@@ -159,7 +174,7 @@ object TextOps {
     * the window input further; not needed at any realistic vocab size. */
   def topTokens(docs: DataFrame, k: Int = 10): DataFrame = {
     val (lang, _) = langPredCols(col("text"))
-    val counts = docs
+    val counts = fanned(docs)
       .select(lang.as("lang_pred"), explode(filter(split(col("text"), " "), _ =!= "")).as("token"))
       .groupBy(col("lang_pred"), col("token"))
       .agg(count(lit(1)).as("n"))
